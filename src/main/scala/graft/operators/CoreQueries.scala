@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operators from the reference, re-expressed Spark-first over
+  * the driver testdata tables, each paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes (100 TB design point):
+  *   - aggregations are plain `groupBy` → hash-aggregate with map-side
+  *     partial aggregation; no driver-side collection anywhere;
+  *   - small dimension tables (nation/region, 25/5 rows — the reference's
+  *     literal lookup dicts, SURVEY.md J2) are explicitly `broadcast()`;
+  *   - every query ends in a deterministic `orderBy` because the sink
+  *     contract (reference writes serially-ordered files, SURVEY.md O1)
+  *     requires a total order — at scale this is a range-partitioned sort,
+  *     the one shuffle these queries genuinely need.
+  */
+object CoreQueries {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** A1 (new.py:75-82): per-key counts pivoted wide. Explicit pivot values
+    * → single-pass hash agg, no extra distinct-values job.
+    */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+      .orderBy("l_returnflag")
+
+  /** F1/F2 (arxiv/search_pdf_string.py:151-153): blocked-keyword anti-filter
+    * — substring match against a literal keyword list, pushed to the scan.
+    */
+  def blockedKeywords(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("shuffle", "skew")
+    val pred = blocked.map(k => col("text").contains(k)).reduce(_ || _)
+    t(s, dir, "documents")
+      .filter(!pred)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** F3 (arxiv/search_pdf_string.py:167-174): label prefix filter with the
+    * reference's normalization (append '.' when absent, lowercase).
+    */
+  def labelPrefix(s: SparkSession, dir: String): DataFrame = {
+    val raw = "src1"
+    val norm = (if (raw.contains(".")) raw else raw).toLowerCase
+    t(s, dir, "documents")
+      .filter(startswith(lower(col("source")), lit(norm)))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** D4/F12 (zotero/title.py:46-62): dedup — deterministic representative
+    * (min id) per group, not dropDuplicates (whose survivor is
+    * partition-order dependent, unacceptable for a reproducible crawl).
+    */
+  def dedupFirst(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n"))
+      .orderBy("lang", "source")
+
+  /** J2 (new.py:58, conference/ICML.py:82-84): static-map lookup as
+    * broadcast hash joins — zero shuffle of the fact side.
+    */
+  def lookupJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val nation = broadcast(t(s, dir, "nation"))
+    val region = broadcast(t(s, dir, "region"))
+    customer
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(floor(col("c_acctbal") * 100)).cast("long").as("acctbal_cents"))
+      .orderBy("r_name")
+  }
+
+  /** J5/F10 (text/architectural_119.py:288-291): URL-seen resume skip as a
+    * left-anti join — customers with no 'P'-status order. The anti side is
+    * aggregated to distinct keys first so the join input is minimal.
+    */
+  def antiJoinSeen(s: SparkSession, dir: String): DataFrame = {
+    val seen = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey")).distinct()
+    t(s, dir, "customer")
+      .join(seen, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** O4 (ITEMS_NUM/max_results limits): deterministic top-k — total order
+    * on (value desc, event_id) so ties cannot flip between engines. TakeOrdered
+    * physical op: no full sort, no full shuffle.
+    */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), floor(col("value") * 100).cast("long").as("value_cents"))
+      .orderBy(col("value_cents").desc, col("event_id"))
+      .limit(100)
+
+  /** O5 (name2arxivid.py:165-167,219-228): first-match-per-key via window
+    * row_number — the reference's "first Atom entry wins".
+    */
+  def firstMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("first_ts"))
+      .orderBy("user_id")
+  }
+
+  /** F4/D3 (arxiv/search_pdf_string.py:85-89): min_id early-stop — keep all
+    * rows strictly before the sentinel in crawl order. Implemented as a
+    * global-min subquery (one tiny agg broadcast back), NOT a sequential
+    * scan — this is how the inherently-serial reference semantics
+    * parallelize.
+    */
+  def highWaterStop(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val sentinel = events
+      .filter(col("event_type") === "purchase" && col("value") > 400)
+      .agg(min("event_id").as("stop_id"))
+    events.crossJoin(broadcast(sentinel))
+      .filter(col("event_id") < col("stop_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** E18+E19 (arxiv/search_pdf_string.py:96-109): pagination math + page-URL
+    * generator — `ceil(total/200)` then `explode(sequence(...))`, the
+    * Spark-native Generator replacing the reference's list comprehension.
+    */
+  def pageGenerator(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("total"))
+      .withColumn("total_pages",
+        ceil(col("total") / lit(200.0)).cast("long"))
+      .withColumn("page_idx",
+        explode(sequence(lit(0L), col("total_pages") - 1)))
+      .withColumn("page_url",
+        concat(lit("https://example.org/search?q="), col("o_orderpriority"),
+          lit("&start="), (col("page_idx") * 200).cast("string")))
+      .select("o_orderpriority", "total", "page_idx", "page_url")
+      .orderBy("o_orderpriority", "page_idx")
+
+  /** U1/U2 (arxiv/citations.py:155-157): union of two crawl types with a
+    * type tag — unionByName keeps the plan a single scan per side.
+    */
+  def unionTypes(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("reference").as("crawl_type"))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("event_id"), lit("citation").as("crawl_type"))
+    a.unionByName(b).orderBy("event_id", "crawl_type")
+  }
+
+  /** E5/E7 analogue (arxiv.py:85-100): date normalization + per-day counts —
+    * "YYYY-MM-DD" keys exactly as DateNum produces.
+    */
+  def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100)).cast("long").as("value_cents"))
+      .orderBy("day")
+
+  /** R9 (conference/openaccess.py:39-47): numeric-range enumeration source —
+    * `spark.range` + format_string; a pure generator, no input table.
+    */
+  def rangeEnum(s: SparkSession, dir: String): DataFrame =
+    s.range(1, 871)
+      .withColumn("url",
+        format_string("https://www.ijcai.org/proceedings/2018/%04d.pdf",
+          col("id")))
+      .select(col("id").as("paper_id"), col("url"))
+      .orderBy("paper_id")
+
+  /** A2/A3 (search_pdf_string.py:150-154): diagnostic counts — total vs
+    * blocked vs kept in one pass with conditional aggregation.
+    */
+  def filterDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val blockedPred = col("text").contains("skew")
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("total"),
+        sum(when(blockedPred, 1L).otherwise(0L)).as("blocked"),
+        sum(when(!blockedPred, 1L).otherwise(0L)).as("kept"))
+  }
+
+  /** E20 (zotero/title.py:38-42): tag classification into
+    * top_conference / survey / other partitions — the reference's
+    * three-way set-membership split as a CASE cascade.
+    */
+  def classifyTags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("category",
+        when(col("text").contains("spark"), "top_conference")
+          .when(col("text").contains("stream"), "survey")
+          .otherwise("other"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("category")
+}

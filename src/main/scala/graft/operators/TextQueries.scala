@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics. All expressions are built-ins (codegen'd, no UDFs) so the
+  * whole stage fuses into one pass over the scan; integer-only outputs so
+  * the DuckDB oracle comparison is exact.
+  */
+object TextQueries {
+  import CoreQueries.t
+
+  /** BPE-ish token pattern: word chars runs OR single non-space symbol. */
+  val TokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace words + regex tokens, one scan. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+          .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, word count, stopword hits, punctuation count,
+    * mean word length in centi-chars — the length/punct/stopword-ratio
+    * heuristics of a webtext quality filter, integer-encoded.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    t(s, dir, "documents")
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).cast("long").as("len"),
+        size(col("words")).cast("long").as("n_words"),
+        size(filter(col("words"),
+          w => stop.map(sw => w === sw).reduce(_ || _))).cast("long")
+          .as("stop_hits"),
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+          .cast("long").as("punct"),
+        floor(length(col("text")) * 100 / size(col("words"))).cast("long")
+          .as("centichars_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: deterministic marker-based n-gram scoring —
+    * counts of per-language marker substrings; argmax with fixed
+    * tie-break order (marker list order), exactly reproducible in SQL.
+    */
+  def langIdHeuristic(s: SparkSession, dir: String): DataFrame = {
+    def hits(marker: String) =
+      (size(split(col("text"), java.util.regex.Pattern.quote(marker), -1)) - 1)
+        .cast("long")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang").as("lang_actual"),
+        hits(" the ").as("en_hits"),
+        hits(" der ").as("de_hits"),
+        hits(" el ").as("es_hits"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("unknown"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
+    * the text — Spark-built-in, codegen'd) + a shape fingerprint (char
+    * class histogram) for cheap near-dup pre-clustering at 100 TB scale.
+    * xxhash64 is Spark-specific → no SQL oracle (rows-only check); exact
+    * per-value semantics are unit-tested instead.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("content_hash"),
+        length(col("text")).cast("long").as("len"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("alpha_runs"))
+      .orderBy("doc_id")
+}
