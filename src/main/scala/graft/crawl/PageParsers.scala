@@ -1,0 +1,119 @@
+package graft.crawl
+
+import java.util.regex.Pattern
+import graft.extract.{ArxivExtract, MarkdownConvert, MiniHtml}
+import graft.frontier.FrontierEntry
+import graft.url.UrlCanon
+
+/** Per-page-kind parser dispatch: one fetched page → (records, out-links).
+  * Pure and deterministic — runs inside `Dataset.flatMap` on executors and
+  * inside the sequential simulator, guaranteeing both see identical bytes.
+  *
+  * Rank packing (the O1 total order): seed(12) | depth(6) | pageIdx(16) |
+  * posInPage(16) | itemIdx(12) — see [[FrontierEntry.rank]]; records get
+  * the page's rank plus their in-page item index in the low 12 bits
+  * (document order, `re.finditer` order in the reference —
+  * arxiv/search_pdf_string.py:61).
+  */
+object PageParsers {
+
+  final case class CrawlRecord(
+      url: String,
+      label: String,
+      title: String,
+      abstract_text: String,
+      extracted_md: String,
+      crawl_rank: Long
+  )
+
+  final case class OutLink(url: String, kind: String, seed: Int, depth: Int,
+      pageIdx: Int, posInPage: Int)
+
+  final case class ParseResult(records: Vector[CrawlRecord],
+      links: Vector[OutLink])
+
+  private val FlakyRe =
+    Pattern.compile("<meta name=\"flaky\" content=\"(\\d+)\">")
+
+  /** Fetch simulation over the pages table: a page whose html carries a
+    * flaky marker fails its first n attempts with 503 (retry semantics
+    * R2/R3, conference/ICML.py:47-52); a missing page is 404.
+    */
+  def fetchStatus(html: Option[String], attempts: Int): Int = html match {
+    case None => 404
+    case Some(h) =>
+      val m = FlakyRe.matcher(h)
+      if (m.find() && attempts < m.group(1).toInt) 503 else 200
+  }
+
+  /** Parse a successfully-fetched page according to its kind. */
+  def parse(e: FrontierEntry, html: String): ParseResult = e.kind match {
+    case "search" => parseSearch(e, html)
+    case "paper"  => parsePaper(e, html)
+    case "blog"   => parseBlog(e, html)
+    case _        => ParseResult(Vector.empty, Vector.empty)
+  }
+
+  /** Search result page: E2 item parse → records; out-links = sibling
+    * result pages (pagination, from page 0 only — E18/E19) + each item's
+    * abs page at depth+1.
+    */
+  private def parseSearch(e: FrontierEntry, html: String): ParseResult = {
+    val (items, _) = ArxivExtract.parseArxivResult(html, "")
+    val records = items.zipWithIndex.map { case (it, i) =>
+      CrawlRecord(it.url, it.label, it.title, it.abstractText, "",
+        e.crawlRank | i.toLong)
+    }
+    val absRe = Pattern.compile("<a href=\"([^\"]+)\">abs</a>")
+    val absLinks = {
+      val m = absRe.matcher(html)
+      val b = Vector.newBuilder[String]
+      while (m.find()) b += m.group(1)
+      b.result()
+    }
+    val itemLinks = absLinks.zipWithIndex.map { case (u, i) =>
+      OutLink(UrlCanon.resolve(e.url, u), "paper", e.seed, e.depth + 1,
+        e.pageIdx, i)
+    }
+    val pageLinks =
+      if (e.pageIdx != 0) Vector.empty
+      else ArxivExtract.getPages(e.url, html).zipWithIndex.collect {
+        case (u, i) if i > 0 =>
+          OutLink(u, "search", e.seed, e.depth, i, 0)
+      }
+    ParseResult(records, pageLinks ++ itemLinks)
+  }
+
+  /** Article abs page: E4 field extraction + E9 digest; terminal (no
+    * out-links).
+    */
+  private def parsePaper(e: FrontierEntry, html: String): ParseResult = {
+    ArxivExtract.extractAbsFields(html) match {
+      case None => ParseResult(Vector.empty, Vector.empty)
+      case Some(f) =>
+        val md = ArxivExtract.digest(f, e.url)
+        ParseResult(
+          Vector(CrawlRecord(e.url, f.comments, f.title, f.abstractText, md,
+            e.crawlRank)),
+          Vector.empty)
+    }
+  }
+
+  /** Blog page: E12 HTML→Markdown byte-contract + recursive descent (R6):
+    * child links in document order at depth+1.
+    */
+  private def parseBlog(e: FrontierEntry, html: String): ParseResult = {
+    val doc = MiniHtml.parse(html)
+    val md = MarkdownConvert.convertHtmlToMarkdown(doc, e.url, "out", "out/img")
+    val target = MarkdownConvert.cleanHtml(doc)
+    val links = target.findAll("a").flatMap(_.attr("href")).zipWithIndex
+      .map { case (href, i) =>
+        OutLink(UrlCanon.resolve(e.url, href), "blog", e.seed, e.depth + 1,
+          e.pageIdx, i)
+      }.toVector
+    ParseResult(
+      Vector(CrawlRecord(e.url, "", MarkdownConvert.firstValidText(target),
+        "", md, e.crawlRank)),
+      links)
+  }
+}

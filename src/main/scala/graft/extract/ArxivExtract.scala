@@ -340,14 +340,16 @@ object PyStr {
     s.substring(i, j)
   }
 
-  /** Python slice s[a:b] with clamping; negative indices unsupported
-    * (not needed by the replicated code paths, which use find() results
-    * that our fixtures always satisfy).
+  /** Python slice s[a:b] including negative-index semantics — load-bearing
+    * for DateFormat (arxiv.py:91): `date[...:date.find(")")]` where a
+    * dateline without "(v1)" makes find return -1, which Python reads as
+    * "up to the last char" (dropping the closing "]").
     */
   def slice(s: String, a: Int, b: Int): String = {
     val n = s.length
-    val start = math.max(0, math.min(a, n))
-    val end = math.max(start, math.min(b, n))
+    def norm(i: Int) = if (i < 0) math.max(0, n + i) else math.min(i, n)
+    val start = norm(a)
+    val end = math.max(start, norm(b))
     s.substring(start, end)
   }
 }

@@ -1,0 +1,286 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.sql.Timestamp
+
+/** Deterministic synthetic web matching the BASELINE.json input_hint shape
+  * `pages(url, warc_ts, html, text, lang)` — both test fixture and bench
+  * input (FIXTURES.md). All content is a pure function of (seed, host id,
+  * page id): no Random, no wall clock, so any two runs (and the engine vs
+  * the sequential simulator) see byte-identical bytes.
+  *
+  * Site families (each exercises specific reference branches):
+  *   - search hosts `search{h}.example.org` — result pages with
+  *     `<li class="arxiv-result">` blocks and an "of N" total driving the
+  *     pagination math (arxiv/search_pdf_string.py:96-109); items link to
+  *     article pages on the paired paper host.
+  *   - paper hosts `papers{h}.example.org` — abs-style article pages with
+  *     title/date/abstract/comments branches (arxiv.py:108-149).
+  *   - blog hosts `blog{h}.example.org` — nested list/heading/sup/sub pages
+  *     with relative links, driving HTML→Markdown (text/architectural_119
+  *     .py:104-168) and recursive descent (depth > 1).
+  *   - flaky pages — every page whose pageId % 7 == 3 on a flaky host
+  *     carries a `<meta name="flaky" content="n">` marker: the fetch
+  *     simulator fails its first n attempts (conference/ICML.py:47-52).
+  *
+  * Scale knobs per FIXTURES.md §7: (seed, nHosts, pagesPerHost,
+  * itemsPerPage, skewFactor). Generation is distributed (`spark.range` →
+  * `map`), never a driver-side loop — at bench scale this builds millions
+  * of pages in parallel.
+  */
+object SyntheticWeb {
+
+  final case class Page(url: String, warc_ts: Timestamp, html: Array[Byte],
+      text: String, lang: String)
+
+  final case class Config(
+      seed: Long = 42L,
+      nHosts: Int = 4,
+      pagesPerHost: Int = 3, // search result pages per search host
+      itemsPerPage: Int = 5, // items per result page
+      blogDepth: Int = 2, // levels of nested blog pages
+      blogFanout: Int = 3, // child links per blog page
+      skewFactor: Double = 0.0 // >0: host 0 gets extra pages (zipf-ish)
+  )
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — the only "entropy". */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a13ed58e84d5L
+    z ^ (z >>> 31)
+  }
+
+  def searchHost(h: Int) = s"search$h.example.org"
+  def paperHost(h: Int) = s"papers$h.example.org"
+  def blogHost(h: Int) = s"blog$h.example.org"
+
+  /** Number of result pages for search host h (skew: host 0 inflated). */
+  def pagesFor(cfg: Config, h: Int): Int =
+    if (h == 0 && cfg.skewFactor > 0)
+      math.max(1, (cfg.pagesPerHost * (1 + cfg.skewFactor)).toInt)
+    else cfg.pagesPerHost
+
+  def searchSeedUrl(h: Int) = s"https://${searchHost(h)}/search?q=q$h"
+  def searchPageUrl(h: Int, p: Int): String =
+    if (p == 0) searchSeedUrl(h) else s"${searchSeedUrl(h)}&start=${200 * p}"
+
+  def paperId(cfg: Config, h: Int, p: Int, i: Int): String = {
+    val n = math.abs(mix(cfg.seed ^ (h.toLong << 40) ^ (p.toLong << 20) ^ i))
+    f"24${n % 100000}%05d.${n % 99999}%05d"
+  }
+  def paperAbsUrl(cfg: Config, h: Int, p: Int, i: Int): String =
+    s"https://${paperHost(h)}/abs/${paperId(cfg, h, p, i)}"
+  def paperPdfUrl(cfg: Config, h: Int, p: Int, i: Int): String =
+    s"https://${paperHost(h)}/pdf/${paperId(cfg, h, p, i)}"
+
+  def blogUrl(h: Int, path: String) = s"https://${blogHost(h)}/$path"
+
+  private val Words = Vector("frontier", "lattice", "spectral", "manifold",
+    "gradient", "sparse", "robust", "neural", "causal", "quantum", "optimal",
+    "convex", "dynamic", "latent", "adaptive", "bayesian")
+  private val Confs = Vector("CVPR", "ICCV", "ECCV", "ICML", "ICLR", "AAAI")
+  private val Months = Vector("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  def titleOf(cfg: Config, h: Int, p: Int, i: Int): String = {
+    val n = mix(cfg.seed ^ (h.toLong << 41) ^ (p.toLong << 21) ^ (i + 7))
+    val w = (k: Int) => Words((math.abs(n >> (k * 4)) % Words.size).toInt)
+    s"${w(0).capitalize} ${w(1)} ${w(2)} for ${w(3)} ${w(4)} estimation"
+  }
+
+  def labelsOf(cfg: Config, h: Int, p: Int, i: Int): Vector[String] = {
+    val n = math.abs(mix(cfg.seed ^ (h.toLong << 42) ^ (p.toLong << 22) ^ (i + 13)))
+    val pool = Vector("cs.LG", "cs.CV", "stat.ML", "cs.AI", "math.OC")
+    val k = 1 + (n % 3).toInt
+    (0 until k).map(j => pool(((n >> (8 * j)) % pool.size).toInt)).toVector.distinct
+  }
+
+  def abstractOf(cfg: Config, h: Int, p: Int, i: Int): String = {
+    val n = mix(cfg.seed ^ (h.toLong << 43) ^ (p.toLong << 23) ^ (i + 29))
+    val w = (k: Int) => Words((math.abs(n >> (k * 3)) % Words.size).toInt)
+    s"We study ${w(0)} ${w(1)} methods and prove ${w(2)} bounds " +
+      s"under ${w(3)} assumptions, improving ${w(4)} baselines."
+  }
+
+  def dateOf(cfg: Config, h: Int, p: Int, i: Int): (Int, String, Int) = {
+    val n = math.abs(mix(cfg.seed ^ (h.toLong << 44) ^ (p.toLong << 24) ^ (i + 31)))
+    (1 + (n % 28).toInt, Months(((n >> 8) % 12).toInt), 2020 + ((n >> 16) % 5).toInt)
+  }
+
+  def tsOf(cfg: Config, key: Long): Timestamp =
+    new Timestamp(1700000000000L + math.abs(mix(cfg.seed ^ key)) % (86400L * 1000 * 365))
+
+  // ---- page HTML builders ------------------------------------------------
+
+  /** Search result page: total marker + one li block per item
+    * (branch coverage: full-vs-short abstract, cs.CV preference).
+    */
+  def searchPageHtml(cfg: Config, h: Int, p: Int): String = {
+    val totalItems = pagesFor(cfg, h).toLong * cfg.itemsPerPage *
+      (200 / cfg.itemsPerPage) // scale so ceil(total/200) == pagesFor
+    val items = (0 until cfg.itemsPerPage).map { i =>
+      val labels = labelsOf(cfg, h, p, i)
+      val spans = labels.map(l => s"""<span class="tag">$l</span>""").mkString
+      val (d, mon, y) = dateOf(cfg, h, p, i)
+      val abs = abstractOf(cfg, h, p, i)
+      val absSpan =
+        if (i % 3 == 0)
+          s"""<span class="abstract-short">$abs <a href="#">More</a></span>"""
+        else
+          s"""<span class="abstract-full">$abs
+             |Submitted $d $mon, $y; originally announced $mon $y.</span>""".stripMargin
+      s"""<li class="arxiv-result">
+         |$spans
+         |<p class="title is-5 mathjax"> ${titleOf(cfg, h, p, i)} </p>
+         |<a href="${paperPdfUrl(cfg, h, p, i)}">pdf</a>
+         |<a href="${paperAbsUrl(cfg, h, p, i)}">abs</a>
+         |$absSpan
+         |</li>""".stripMargin
+    }.mkString("\n")
+    s"""<html><body>
+       |<h1>Showing 1&ndash;${cfg.itemsPerPage} of ${"%,d".format(totalItems)} results</h1>
+       |<ol>$items</ol>
+       |</body></html>""".stripMargin
+  }
+
+  /** Article abs page exercising the E4 branches (arxiv.py:108-149):
+    * comments empty / plain / with-span; date in div[2] with div[1]
+    * fallback for i%5==0.
+    */
+  def paperPageHtml(cfg: Config, h: Int, p: Int, i: Int): String = {
+    val (d, mon, y) = dateOf(cfg, h, p, i)
+    val flaky = if (isFlaky(cfg, h, p, i)) flakyMeta(cfg, h, p, i) else ""
+    val comments = (i % 3) match {
+      case 0 => ""
+      case 1 =>
+        s"""<tr><td class="tablecell label">Comments:</td>
+           |<td class="tablecell comments mathjax">Accepted to ${Confs(i % Confs.size)} $y</td></tr>""".stripMargin
+      case _ =>
+        // whitespace-only first text node in td[2] drives the span-fallback
+        // branch of GetComments (arxiv.py:110-113)
+        s"""<tr><td class="tablecell label">Comments:</td>
+           |<td class="tablecell comments mathjax">
+           |<span>Camera ready, ${Confs(i % Confs.size)} $y</span></td></tr>""".stripMargin
+    }
+    val dateBlock =
+      if (i % 5 == 0)
+        // div[2] text contains "," ⇒ GetDate falls back to div[1]
+        s"""<div class="dateline">[Submitted on $d $mon $y]</div><div class="extra">,</div>"""
+      else
+        s"""<div class="leftcolumn">misc</div><div class="dateline">[Submitted on $d $mon $y]</div>"""
+    // the abs-root xpath (arxiv.py: body/div/main/div/div/div/div/div)
+    s"""<html>$flaky<body><div><main><div><div><div><div><div class="abs">
+       |$dateBlock
+       |<h1 class="title mathjax"><span class="descriptor">Title:</span>${titleOf(cfg, h, p, i)}</h1>
+       |<blockquote class="abstract mathjax">
+       |<span class="descriptor">Abstract:</span>${abstractOf(cfg, h, p, i)}
+       |</blockquote>
+       |<div class="metatable"><table><tbody>$comments</tbody></table></div>
+       |</div></div></div></div></div></main></div></body></html>""".stripMargin
+  }
+
+  /** Blog page: nested lists, headings, sup/sub, relative child links. Leaf
+    * pages (depth == cfg.blogDepth) have no children.
+    */
+  def blogPageHtml(cfg: Config, h: Int, path: String, depth: Int): String = {
+    val n = mix(cfg.seed ^ path.hashCode.toLong ^ (h.toLong << 17))
+    val w = (k: Int) => Words((math.abs(n >> (k * 5)) % Words.size).toInt)
+    val children =
+      if (depth >= cfg.blogDepth) ""
+      else (0 until cfg.blogFanout).map { c =>
+        s"""<li><a href="/$path/c$c">${w(c)} chapter $c</a></li>"""
+      }.mkString(s"""<ul>""", "\n", "</ul>")
+    s"""<html><body><div class="b_con">
+       |<h${math.min(depth + 1, 6)}>${w(0)} notes $path</h${math.min(depth + 1, 6)}>
+       |<p>Rate  is  x<sup>2</sup> over H<sub>0</sub> for ${w(1)} ${w(2)}.</p>
+       |<ol><li>first ${w(3)}</li><li>second ${w(4)}</li></ol>
+       |$children
+       |</div></body></html>""".stripMargin
+  }
+
+  /** Flaky marker: pages failing their first n fetch attempts (R2/R3). */
+  def isFlaky(cfg: Config, h: Int, p: Int, i: Int): Boolean =
+    (math.abs(mix(cfg.seed ^ (h.toLong << 45) ^ (p.toLong << 25) ^ (i + 3))) % 7) == 3
+  def flakyAttempts(cfg: Config, h: Int, p: Int, i: Int): Int =
+    1 + (math.abs(mix(cfg.seed ^ (h.toLong << 46) ^ (p + i).toLong)) % 2).toInt
+  def flakyMeta(cfg: Config, h: Int, p: Int, i: Int): String =
+    s"""<meta name="flaky" content="${flakyAttempts(cfg, h, p, i)}">"""
+
+  // ---- table builders ----------------------------------------------------
+
+  /** All (url, kind, h, p, i, depth, path) coordinates, distributed. */
+  private def coords(spark: SparkSession, cfg: Config): Dataset[(String, String, Int, Int, Int, Int, String)] = {
+    import spark.implicits._
+    val hosts = spark.range(cfg.nHosts).map(_.toInt)
+    hosts.flatMap { h =>
+      val search = (0 until pagesFor(cfg, h)).map { p =>
+        (searchPageUrl(h, p), "search", h, p, 0, 0, "")
+      }
+      val papers = for {
+        p <- 0 until pagesFor(cfg, h)
+        i <- 0 until cfg.itemsPerPage
+      } yield (paperAbsUrl(cfg, h, p, i), "paper", h, p, i, 0, "")
+      val blogPaths = {
+        def walk(path: String, depth: Int): Seq[(String, Int)] =
+          (path, depth) +: (if (depth >= cfg.blogDepth) Seq.empty
+          else (0 until cfg.blogFanout).flatMap(c => walk(s"$path/c$c", depth + 1)))
+        walk("root", 0)
+      }
+      val blogs = blogPaths.map { case (path, d) =>
+        (blogUrl(h, path), "blog", h, 0, 0, d, path)
+      }
+      search ++ papers ++ blogs
+    }
+  }
+
+  /** The canonical pages table (input_hint shape). */
+  def pages(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    coords(spark, cfg).map { case (url, kind, h, p, i, depth, path) =>
+      val html = kind match {
+        case "search" => searchPageHtml(cfg, h, p)
+        case "paper"  => paperPageHtml(cfg, h, p, i)
+        case _        => blogPageHtml(cfg, h, path, depth)
+      }
+      val text = kind match {
+        case "search" => "" // search pages carry no extracted-text contract
+        case "paper"  => abstractOf(cfg, h, p, i)
+        case _        => ""
+      }
+      val lang = if (math.abs(mix(url.hashCode.toLong ^ cfg.seed)) % 10 == 0) "zh" else "en"
+      Page(url, tsOf(cfg, url.hashCode.toLong), html.getBytes("UTF-8"), text, lang)
+    }.toDF()
+  }
+
+  final case class Seed(seed_id: Int, url: String, site: String, query: String)
+
+  /** Seed list: one search seed per search host + one blog root per blog
+    * host (north_rule: same seed list ⇒ same ordering + seen set).
+    */
+  def seeds(spark: SparkSession, cfg: Config = Config()): Dataset[Seed] = {
+    import spark.implicits._
+    val s = (0 until cfg.nHosts).map(h =>
+      Seed(h, searchSeedUrl(h), "search", s"q$h"))
+    val b = (0 until cfg.nHosts).map(h =>
+      Seed(cfg.nHosts + h, blogUrl(h, "root"), "blog", ""))
+    spark.createDataset(s ++ b)
+  }
+
+  final case class Robots(host: String, disallow_prefixes: Seq[String],
+      crawl_delay_ms: Long)
+
+  /** Synthetic robots: papers hosts disallow /draft/, odd blog hosts carry a
+    * larger crawl delay; search hosts have no entry (default-allow).
+    */
+  def robots(spark: SparkSession, cfg: Config = Config()): Dataset[Robots] = {
+    import spark.implicits._
+    val r = (0 until cfg.nHosts).flatMap { h =>
+      Seq(
+        Robots(paperHost(h), Seq("/draft/"), 100L),
+        Robots(blogHost(h), Seq.empty, if (h % 2 == 1) 500L else 100L)
+      )
+    }
+    spark.createDataset(r)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.fixtures.SyntheticWeb.Robots
+
+/** The frontier priority queue + per-host politeness scheduler.
+  *
+  * Ordering contract (SURVEY.md O1, the reproducibility invariant): the
+  * total crawl order is `(seed, depth, page_idx, pos_in_page)` — a direct
+  * encoding of the reference's serial visit order (pages in `GetPages`
+  * list order, items in document order within a page). `crawlRank` packs
+  * it into one comparable long for sinks:
+  * seed(12 bits) | depth(6) | page_idx(16) | pos_in_page(16) | item_idx(12)
+  * — the low 12 bits are left zero on frontier entries and filled by record
+  * extraction (document-order item index, [[graft.crawl.PageParsers]]).
+  */
+final case class FrontierEntry(
+    url: String,
+    urlHash: Long,
+    host: String,
+    kind: String, // parser family: search | paper | blog
+    seed: Int,
+    depth: Int,
+    pageIdx: Int,
+    posInPage: Int,
+    attempts: Int
+) {
+  def crawlRank: Long = FrontierEntry.rank(seed, depth, pageIdx, posInPage)
+}
+
+object FrontierEntry {
+  def rank(seed: Int, depth: Int, pageIdx: Int, posInPage: Int): Long =
+    (seed.toLong << 50) | (depth.toLong << 44) |
+      (pageIdx.toLong << 28) | (posInPage.toLong << 12)
+}
+
+/** A frontier entry scheduled into a wave: `slot` is its position within
+  * its host's politeness queue; `notBefore` the earliest allowed fetch time
+  * (waveStart + slot × host crawl delay) — recorded in fetch_log so the
+  * politeness property (consecutive same-host fetches ≥ delay apart,
+  * ≤ budget per wave) is checkable without actually sleeping in-sandbox.
+  */
+final case class Scheduled(entry: FrontierEntry, slot: Int, notBefore: Long)
+
+object PoliteScheduler {
+
+  final case class Config(
+      hostBudget: Int = 64, // max URLs per host per wave (R1 analogue)
+      defaultDelayMs: Long = 1000L // reference's sleep(1) between fetches
+  )
+
+  /** Typed Aggregator keeping the `budget` lowest-crawl-rank entries per
+    * key — a distributed bounded top-k with map-side partial aggregation:
+    * each partition reduces to ≤ budget rows *before* the shuffle, so a
+    * hot host with 10^7 frontier rows moves only `budget` rows per
+    * partition instead of all of them (the host-skew answer the north rule
+    * asks for, complementing AQE skew splitting).
+    */
+  final class TopKByRank(budget: Int)
+      extends Aggregator[FrontierEntry, Seq[FrontierEntry], Seq[FrontierEntry]] {
+    private def keyOf(e: FrontierEntry) =
+      (e.seed, e.depth, e.pageIdx, e.posInPage, e.urlHash)
+    def zero: Seq[FrontierEntry] = Vector.empty
+    def reduce(b: Seq[FrontierEntry], e: FrontierEntry): Seq[FrontierEntry] =
+      ((b :+ e).sortBy(keyOf)).take(budget)
+    def merge(a: Seq[FrontierEntry], b: Seq[FrontierEntry]): Seq[FrontierEntry] =
+      ((a ++ b).sortBy(keyOf)).take(budget)
+    def finish(b: Seq[FrontierEntry]): Seq[FrontierEntry] = b
+    def bufferEncoder: Encoder[Seq[FrontierEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[FrontierEntry]]()
+    def outputEncoder: Encoder[Seq[FrontierEntry]] = bufferEncoder
+  }
+
+  /** Schedule one wave: robots gating, then per-host budgeted top-k in
+    * crawl-rank order, then slot/notBefore assignment.
+    *
+    * Robots handling (absent in the reference, required by north_rule):
+    * the tiny robots table is broadcast; disallowed path-prefixes are
+    * filtered out (logged upstream), and a host's `crawl_delay_ms`
+    * overrides the default politeness delay.
+    */
+  def schedule(frontier: Dataset[FrontierEntry], robots: Dataset[Robots],
+      waveStartMs: Long, cfg: Config = Config()): Dataset[Scheduled] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+
+    // robots is small by construction (one row per host family) → collect
+    // once per wave and broadcast as a plain map: prefix filter + delay
+    // lookup run codegen-side with zero join shuffles.
+    val robotsMap: Map[String, (Seq[String], Long)] =
+      robots.collect().map(r => r.host -> ((r.disallow_prefixes, r.crawl_delay_ms))).toMap
+    val bc = spark.sparkContext.broadcast(robotsMap)
+    val defaultDelay = cfg.defaultDelayMs
+
+    val allowed = frontier.filter { e =>
+      bc.value.get(e.host) match {
+        case Some((prefixes, _)) =>
+          val path = {
+            val i = e.url.indexOf("://")
+            val rest = if (i >= 0) e.url.substring(i + 3) else e.url
+            val j = rest.indexOf('/')
+            if (j >= 0) rest.substring(j) else "/"
+          }
+          !prefixes.exists(path.startsWith)
+        case None => true
+      }
+    }
+
+    val agg = new TopKByRank(cfg.hostBudget).toColumn
+    allowed
+      .groupByKey(_.host)
+      .agg(agg.name("picked"))
+      .flatMap { case (host, picked) =>
+        val delay = bc.value.get(host).map(_._2).getOrElse(defaultDelay)
+        picked.zipWithIndex.map { case (e, slot) =>
+          Scheduled(e, slot, waveStartMs + slot * delay)
+        }
+      }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.seen
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Partitioned Bloom-filter URL-seen membership layer (north_rule: "URL-seen
+  * is a partitioned Bloom/cuckoo-filter membership layer keyed by
+  * canonicalized+hashed URLs").
+  *
+  * Layout: `url_seen(bucket int, sketch binary)` — the 64-bit host-salted
+  * xxHash (graft.url.UrlCols.urlHash) is range-split by `pmod(hash, nBuckets)`;
+  * each bucket owns an independent Bloom segment built by a typed
+  * [[Aggregator]] (distributed build with map-side partial merge — no
+  * driver-side sketch object, unlike `df.stat.bloomFilter`).
+  *
+  * Probe path: candidates join the (small — nBuckets × m/8 bytes, so
+  * broadcast) segment table on bucket and keep rows whose hash *might* be
+  * present only as a PRE-filter; the exact seen table decides via left-anti
+  * join (SURVEY.md §7.4 watch-list #4: bloom false positives must never
+  * change the seen-set, so bloom only *discards* definite-unseens cheaply
+  * before the anti-join shuffle).
+  *
+  * At 10^10-URL scale: nBuckets ≈ 4096 × 1 MiB segments ≈ 4 GiB total
+  * sketch for ~10^10 keys at ~3 bits/key; buckets build in parallel and
+  * broadcast per-wave. The exact table is the Iceberg-style `url_seen`
+  * snapshot, anti-joined with AQE handling skew.
+  */
+object UrlSeen {
+
+  /** Double-hashing Bloom over a flat Long bitset. h1/h2 derived from the
+    * already-well-mixed 64-bit url_hash (Kirsch–Mitzenmacher).
+    */
+  object Bloom {
+    def nWords(bits: Int): Int = (bits + 63) / 64
+
+    def add(bs: Array[Long], hash: Long, k: Int): Unit = {
+      val bits = bs.length * 64L
+      val h1 = hash
+      val h2 = graft.fixtures.SyntheticWeb.mix(hash) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, bits)
+        bs((bit >>> 6).toInt) |= (1L << (bit & 63))
+        i += 1
+      }
+    }
+
+    def contains(bs: Array[Long], hash: Long, k: Int): Boolean = {
+      val bits = bs.length * 64L
+      val h1 = hash
+      val h2 = graft.fixtures.SyntheticWeb.mix(hash) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, bits)
+        if ((bs((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+
+    def toBytes(bs: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(bs.length * 8)
+      bs.foreach(bb.putLong)
+      bb.array()
+    }
+
+    def fromBytes(b: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      Array.fill(b.length / 8)(bb.getLong)
+    }
+  }
+
+  /** Typed Aggregator building one Bloom segment from url_hash values. */
+  final class BloomAgg(bits: Int, k: Int)
+      extends Aggregator[Long, Array[Long], Array[Byte]] {
+    def zero: Array[Long] = new Array[Long](Bloom.nWords(bits))
+    def reduce(b: Array[Long], h: Long): Array[Long] = { Bloom.add(b, h, k); b }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Byte] = Bloom.toBytes(b)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final case class Config(nBuckets: Int = 64, bitsPerSegment: Int = 1 << 16,
+      k: Int = 5)
+
+  def bucketOf(hash: Column, nBuckets: Int): Column = pmod(hash, lit(nBuckets.toLong))
+
+  /** Build the partitioned segment table from a frame with `url_hash`. */
+  def buildSegments(seen: DataFrame, cfg: Config = Config()): DataFrame = {
+    val agg = udaf(new BloomAgg(cfg.bitsPerSegment, cfg.k))
+    seen
+      .withColumn("bucket", bucketOf(col("url_hash"), cfg.nBuckets))
+      .groupBy("bucket")
+      .agg(agg(col("url_hash")).as("sketch"))
+  }
+
+  private def mightContainUdf(k: Int) =
+    udf((sketch: Array[Byte], hash: Long) =>
+      sketch == null || Bloom.contains(Bloom.fromBytes(sketch), hash, k))
+
+  /** Bloom pre-filter: drop candidates definitely not in `segments`.
+    * Broadcast the (tiny) segment table; null sketch (empty bucket) ⇒ keep
+    * nothing? No — null means bucket never built ⇒ definitely unseen.
+    */
+  def mightBeSeen(candidates: DataFrame, segments: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val withBucket = candidates
+      .withColumn("bucket", bucketOf(col("url_hash"), cfg.nBuckets))
+    withBucket
+      .join(broadcast(segments), Seq("bucket"), "left")
+      .withColumn("might_seen",
+        col("sketch").isNotNull &&
+          mightContainUdf(cfg.k)(col("sketch"), col("url_hash")))
+      .drop("sketch", "bucket")
+  }
+
+  /** Full unseen filter: bloom pre-filter (cheap, broadcast, no shuffle of
+    * the definite-unseen majority) then exact left-anti (authority).
+    */
+  def filterUnseen(candidates: DataFrame, exactSeen: DataFrame,
+      segments: Option[DataFrame], cfg: Config = Config()): DataFrame = {
+    val pre = segments match {
+      case Some(seg) =>
+        val flagged = mightBeSeen(candidates, seg, cfg)
+        // definite-unseen rows bypass the anti-join entirely
+        val definiteNew = flagged.filter(!col("might_seen")).drop("might_seen")
+        val maybeSeen = flagged.filter(col("might_seen")).drop("might_seen")
+        val checked = maybeSeen.join(
+          exactSeen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
+        definiteNew.unionByName(checked)
+      case None =>
+        candidates.join(
+          exactSeen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
+    }
+    pre
+  }
+}
