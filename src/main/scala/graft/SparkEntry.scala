@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, TextQueries}
+import graft.operators.{CoreQueries, CrawlPipelines, DedupQueries,
+  MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,9 +14,12 @@ import graft.operators.{CoreQueries, TextQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full crawl pipeline (§3.1) on the deterministic
+    * synthetic web — frontier → politeness waves → fetch-join → extract →
+    * records in crawl order. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.lookupJoin(spark, "/root/testdata/sf0.001")
+    CrawlPipelines.flagship(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pivot_counts" -> (CoreQueries.pivotCounts _),
@@ -36,7 +40,24 @@ object SparkEntry {
     "q16_token_count" -> (TextQueries.tokenCount _),
     "q17_quality_score" -> (TextQueries.qualityScore _),
     "q18_lang_id" -> (TextQueries.langIdHeuristic _),
-    "q19_fingerprint" -> (TextQueries.fingerprint _)
+    "q19_fingerprint" -> (TextQueries.fingerprint _),
+    // training-data pipeline: dedup family
+    "q20_exact_dedup" -> (DedupQueries.exactDedup _),
+    "q21_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "q22_minhash_lsh" -> (DedupQueries.minhashLsh _),
+    "q23_simhash_pairs" -> (DedupQueries.simhashPairs _),
+    // similarity search over embeddings
+    "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
+    "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
+    "q26_ann_lsh" -> (SimilarityQueries.annLsh _),
+    // multimodal binary-column plumbing (decode stubbed, plumbing real)
+    "q27_media_features" -> (MultimodalQueries.mediaFeatures _),
+    // crawl-engine pipelines (§3.1-3.3) over the deterministic synthetic
+    // web; rows-only driver checks — deep contracts live in CrawlLoopSpec
+    "q40_crawl_flagship" -> (CrawlPipelines.flagship _),
+    "q41_crawl_digest" -> (CrawlPipelines.digest _),
+    "q42_crawl_label_counts" -> (CrawlPipelines.labelCounts _),
+    "q43_crawl_host_metrics" -> (CrawlPipelines.hostMetrics _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -150,6 +171,69 @@ object SparkEntry {
         |    AND len(string_split(text, ' der ')) - 1 > 0 THEN 'de'
         |   WHEN len(string_split(text, ' el ')) - 1 > 0 THEN 'es'
         |   ELSE 'unknown' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_doc""".stripMargin,
+    "q21_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |docs AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(ws)-1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |  ELSE []::VARCHAR[] END AS sh FROM w),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM docs)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(inter*100.0/(sa.sz+sb.sz-inter)) AS BIGINT)
+        |    AS jaccard_pct
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(floor(inter*100.0/(sa.sz+sb.sz-inter)) AS BIGINT) >= 15
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_embed_neardup" ->
+      """WITH p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_sum(list_transform(range(1,65),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dp,
+        |  sqrt(list_sum(list_transform(range(1,65),
+        |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) AS na,
+        |  sqrt(list_sum(list_transform(range(1,65),
+        |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, vec_a, vec_b,
+        |  CAST(floor(dp/(na*nb)*10000) AS BIGINT) AS cos_e4
+        |FROM p WHERE CAST(floor(dp/(na*nb)*10000) AS BIGINT) >= 3000
+        |ORDER BY label, vec_a, vec_b""".stripMargin,
+    "q25_ann_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(floor(
+        |  list_sum(list_transform(range(1,65),
+        |    i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1,65),
+        |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1,65),
+        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
+        |  AS cos_e4
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
+    "q27_media_features" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(16 + abs(doc_id*2654435761) % 1024 AS INT) AS width,
+        | CAST(16 + abs(doc_id*40503) % 1024 AS INT) AS height,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS hist_total,
+        | CAST(CASE WHEN octet_length(encode(text))//64 = 0 THEN 0
+        |   ELSE (octet_length(encode(text))//64 + 3) // 4 END AS BIGINT)
+        |   AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.crawl.CrawlLoop
+import graft.fixtures.SyntheticWeb
+import graft.frontier.PoliteScheduler
+import graft.store.SnapshotStore
+import scala.collection.concurrent.TrieMap
+
+/** The reference pipelines (SURVEY.md §3) reconstructed as thin
+  * compositions over the crawl engine, exposed as driver-contract queries.
+  * They run the full wave loop on the deterministic synthetic web (the
+  * relational sfDir is irrelevant to a crawl; determinism across runs and
+  * parallelism levels is proven by CrawlLoopSpec), so the driver's
+  * rows-only checks still pin exact row counts run-to-run.
+  *
+  * The crawl executes ONCE per session (memoized) — the three pipeline
+  * queries are different sinks over the same records/fetch_log tables,
+  * exactly like the reference's one-crawl-many-outputs scripts.
+  */
+object CrawlPipelines {
+
+  val webCfg = SyntheticWeb.Config(seed = 42L, nHosts = 4, pagesPerHost = 3,
+    itemsPerPage = 6, blogDepth = 2, blogFanout = 3)
+  val crawlCfg = CrawlLoop.Config(
+    scheduler = PoliteScheduler.Config(hostBudget = 16, defaultDelayMs = 1000L),
+    maxWaves = 32)
+
+  private val cache = TrieMap[String, CrawlLoop.Result]()
+
+  def result(s: SparkSession): CrawlLoop.Result =
+    cache.getOrElseUpdate("default", {
+      val dir = java.nio.file.Files.createTempDirectory("graft-crawl")
+      CrawlLoop.run(s, SyntheticWeb.pages(s, webCfg),
+        SyntheticWeb.seeds(s, webCfg), SyntheticWeb.robots(s, webCfg),
+        new SnapshotStore(dir.toString, s), crawlCfg)
+    })
+
+  /** §3.1 flagship (search_pdf_string): the records table in crawl order —
+    * the K1 CSV sink's exact content.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame =
+    result(s).records
+      .select("url", "label", "title", "abstract_text", "crawl_rank")
+      .orderBy("crawl_rank")
+
+  /** §3.2 digest (new.py): per-seed markdown digest, papers concatenated in
+    * crawl order — the K3 ordered-append sink as a groupBy + sorted
+    * aggregation.
+    */
+  def digest(s: SparkSession, dir: String): DataFrame =
+    result(s).records
+      .filter(col("extracted_md") =!= "")
+      .withColumn("seed", shiftright(col("crawl_rank"), 50))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_papers"),
+        length(concat_ws("", sort_array(
+          collect_list(struct(col("crawl_rank"), col("extracted_md"))))
+          .getField("extracted_md"))).as("digest_len"))
+      .orderBy("seed")
+
+  /** A1-analogue counts: per-label record counts (the paper_number.csv
+    * pivot) — deterministic wide aggregate.
+    */
+  def labelCounts(s: SparkSession, dir: String): DataFrame =
+    result(s).records
+      .filter(col("label") =!= "")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label")
+
+  /** R8 metrics: per-host per-wave fetch outcomes from fetch_log — the
+    * engine's lineage/metrics surface (north_rule).
+    */
+  def hostMetrics(s: SparkSession, dir: String): DataFrame =
+    result(s).fetchLog
+      .groupBy("host", "wave")
+      .agg(count(lit(1)).as("fetches"),
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"),
+        sum(when(col("status") === 503, 1L).otherwise(0L)).as("retryable"),
+        sum(when(col("status") === 404, 1L).otherwise(0L)).as("missing"))
+      .orderBy("host", "wave")
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim): brute-force cosine top-k as the exactness
+  * baseline and a random-hyperplane LSH bucketed variant as the scale
+  * path. Dot products are `zip_with` + `aggregate` higher-order functions
+  * — codegen'd, no UDF, columns stay in Tungsten rows.
+  *
+  * Scale notes: brute-force is O(N) per query and only acceptable for
+  * reranking; the LSH variant buckets the corpus ONCE (a narrow map), and
+  * each query touches only its probe buckets — at 10^10 vectors the
+  * bucketed table is what you'd range-partition and z-order. Near-dup
+  * pairing is blocked by label (the natural pre-cluster) so no all-pairs
+  * join appears.
+  */
+object SimilarityQueries {
+  import CoreQueries.t
+
+  /** dot(a, b) over double-cast lanes, left-fold in index order —
+    * deterministic summation order so the DuckDB oracle (same order)
+    * matches to float-noise level; results are floor-discretized.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against the deterministic query vector
+    * (vec_id = 0). TakeOrdered physical op: per-partition top-k then a
+    * k-row merge on the driver — no global sort shuffle.
+    */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("q")) * 10000).cast("long")
+          .as("cos_e4"))
+      .orderBy(col("cos_e4").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Random-hyperplane signature: bit j = sign of dot(v, h_j) where
+    * hyperplane lanes h_j[i] ∈ {−1, +1} come from a deterministic bit mix
+    * — reproducible across engines and runs, no RNG state.
+    */
+  /** Default 8 bits ⇒ 256 coarse buckets — sized so buckets stay populated
+    * at test scale; at 10^10 vectors you widen the signature (each bit
+    * halves expected bucket occupancy) rather than changing the plan.
+    */
+  def rhpSignature(v: Column, nBits: Int = 8): Column = {
+    def lane(j: Int, i: Column): Column =
+      when(((xxhash64(lit(j), i) % 2) + 2) % 2 === 0, 1.0).otherwise(-1.0)
+    val bits = (0 until nBits).map { j =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)),
+          (x, i) => x.cast("double") * lane(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus bucketed by hyperplane signature; the query
+    * probes its own bucket plus all hamming-1 neighbors and reranks the
+    * candidates exactly — candidates ≪ corpus is the entire point.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", rhpSignature(col("embedding")))
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"), col("bucket").as("qb"))
+    val probes = query.select(col("q"),
+      explode(array(col("qb") +: (0 until 8).map(j =>
+        col("qb").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), "bucket")
+      .select(col("vec_id"),
+        floor(cosine(col("embedding"), col("q")) * 10000).cast("long")
+          .as("cos_e4"))
+      .orderBy(col("cos_e4").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs, blocked by label (the natural cluster key):
+    * within-label pairs with cosine ≥ threshold. The label equi-join is
+    * the blocking step standing in for an IVF coarse quantizer at scale.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.toDF("vec_a", "label", "emb_a")
+    val b = emb.toDF("vec_b", "label", "emb_b")
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        floor(cosine(col("emb_a"), col("emb_b")) * 10000).cast("long")
+          .as("cos_e4"))
+      .filter(col("cos_e4") >= 3000)
+      .orderBy("label", "vec_a", "vec_b")
+  }
+}

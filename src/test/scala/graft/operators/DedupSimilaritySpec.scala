@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Semantic tests for the training-data operators on constructed corpora
+  * with KNOWN duplicate structure (the driver testdata only gets rows-only
+  * checks for the hash-based ops, so the real guarantees live here).
+  */
+class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dedup-fix").toString
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"word$i")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "src1", base.length.toLong),
+      (2L, base, "en", "src1", base.length.toLong), // exact dup of 1
+      (3L, nearDup, "en", "src2", nearDup.length.toLong), // near dup of 1
+      (4L, "completely different tiny text", "en", "src2", 30L),
+      (5L, "another unrelated document body here entirely", "en", "src3", 45L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$d/documents.parquet")
+
+    def vec(f: Int => Float): Seq[Float] = (0 until 64).map(f)
+    val embs = Seq(
+      (0L, vec(i => i.toFloat + 1), 0), // query
+      (1L, vec(i => (i.toFloat + 1) * 2), 0), // same direction: cos = 1
+      (2L, vec(i => if (i == 0) 1f else 0f), 0), // ~orthogonal-ish
+      (3L, vec(i => -(i.toFloat + 1)), 1), // opposite: cos = -1
+      (4L, vec(i => i.toFloat + 2), 1) // close to query direction
+    ).toDF("vec_id", "embedding", "label")
+    embs.write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val rows = DedupQueries.exactDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((1L, 2L))) // docs 1+2 collapse to keep_doc=1
+    assert(rows.count(_._2 == 1L) == 3)
+  }
+
+  test("ngram jaccard finds the planted near-dup pair (1,3) and (2,3), " +
+    "not the unrelated docs") {
+    val rows = DedupQueries.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = rows.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // one word changed in 40 ⇒ 3-gram jaccard = (38-3)/(38+3) ≈ 85%
+    val j13 = rows.find(t => t._1 == 1L && t._2 == 3L).get._3
+    assert(j13 >= 80 && j13 < 100, s"jaccard=$j13")
+  }
+
+  test("minhash LSH recalls all pairs with true jaccard ≥ its threshold " +
+    "(including the exact dup at jaccard 100)") {
+    val truth = DedupQueries.ngramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val lsh = DedupQueries.minhashLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(lsh.contains((1L, 2L)) && lsh((1L, 2L)) == 100L)
+    truth.filter(_._2 >= 80).keys.foreach { p =>
+      assert(lsh.contains(p), s"LSH missed high-jaccard pair $p")
+    }
+    // verification stage reports the same exact jaccard as the full join
+    lsh.foreach { case (p, j) =>
+      assert(truth.getOrElse(p, 100L) == j)
+    }
+  }
+
+  test("simhash: identical docs collide (hamming 0); near-dup within 3") {
+    val rows = DedupQueries.simhashPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows((1L, 2L)) == 0)
+    assert(rows.get((1L, 3L)).forall(_ <= 3))
+    assert(!rows.contains((4L, 5L)))
+  }
+
+  test("ANN brute force: same-direction vector ranks first with cos 1") {
+    val rows = SimilarityQueries.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.head._1 == 1L)
+    assert(rows.head._2 >= 9999L) // cos(q, 2q) == 1
+    val byId = rows.toMap
+    assert(byId(3L) <= -9999L) // opposite direction
+  }
+
+  test("ANN LSH: identical-direction vector shares the query bucket and " +
+    "is retrieved; scores agree with brute force") {
+    val brute = SimilarityQueries.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lsh = SimilarityQueries.annLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.map(_._1).contains(1L))
+    lsh.foreach { case (id, cos) => assert(brute(id) == cos) }
+  }
+
+  test("embedding near-dup is blocked by label: cross-label pairs never " +
+    "appear even at cosine 1") {
+    val rows = SimilarityQueries.embedNearDup(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (0,1) same label, cos=1 → present; (0,4) cross-label cos≈1 → absent
+    assert(rows.exists(t => t._2 == 0L && t._3 == 1L && t._4 >= 9999L))
+    assert(!rows.exists(t => t._2 == 0L && t._3 == 4L))
+  }
+
+  test("media features: histogram mass equals byte count; frame count " +
+    "follows the stride arithmetic") {
+    val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nBytes = r.getAs[Long]("n_bytes")
+      assert(r.getAs[Long]("hist_total") == nBytes)
+      val frames = r.getAs[Long]("n_frames")
+      val nf = nBytes / 64
+      assert(frames == (if (nf == 0) 0 else (nf + 3) / 4))
+    }
+    // deterministic: byte histogram of a known payload
+    val h = MultimodalQueries.FakeDecode.features("AAAA".getBytes("UTF-8"))
+    assert(h(4) == 4 && h.sum == 4) // 'A' = 0x41 → bin 4
+  }
+}
