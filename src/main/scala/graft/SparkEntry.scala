@@ -52,12 +52,15 @@ object SparkEntry {
     "q26_ann_lsh" -> (SimilarityQueries.annLsh _),
     // multimodal binary-column plumbing (decode stubbed, plumbing real)
     "q27_media_features" -> (MultimodalQueries.mediaFeatures _),
+    "q28_api_lookup" -> (CoreQueries.apiLookup _),
+    "q29_numeric_sort" -> (CoreQueries.numericSort _),
     // crawl-engine pipelines (§3.1-3.3) over the deterministic synthetic
     // web; rows-only driver checks — deep contracts live in CrawlLoopSpec
     "q40_crawl_flagship" -> (CrawlPipelines.flagship _),
     "q41_crawl_digest" -> (CrawlPipelines.digest _),
     "q42_crawl_label_counts" -> (CrawlPipelines.labelCounts _),
-    "q43_crawl_host_metrics" -> (CrawlPipelines.hostMetrics _)
+    "q43_crawl_host_metrics" -> (CrawlPipelines.hostMetrics _),
+    "q44_crawl_citations" -> (CrawlPipelines.citations _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -225,6 +228,13 @@ object SparkEntry {
         |  AS cos_e4
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
+    "q29_numeric_sort" ->
+      """SELECT doc_id, name, num_key FROM (
+        |  SELECT doc_id, source || '_' || lang AS name,
+        |    CAST(coalesce(nullif(regexp_extract(source || '_' || lang,
+        |      '\d+'), ''), '9223372036854775807') AS BIGINT) AS num_key
+        |  FROM documents) t
+        |ORDER BY num_key, name, doc_id LIMIT 500""".stripMargin,
     "q27_media_features" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

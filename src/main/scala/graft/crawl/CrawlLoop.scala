@@ -196,10 +196,12 @@ object CrawlLoop extends Serializable {
       val remaining = frontier
         .join(schedHashes, frontier("urlHash") === schedHashes("sched_hash"),
           "left_anti").as[FrontierEntry]
+      // seen stays distinct by construction: newEntries passed the unseen
+      // filter and are in-wave deduped, so a plain append suffices — no
+      // per-wave distinct() shuffle over the whole seen set.
       val nextFrontier = remaining.union(retries).union(newEntries)
       val nextSeen = seen
         .union(newEntries.select(col("urlHash").as("url_hash")).toDF())
-        .distinct()
 
       val metrics = Map(
         "scheduled" -> sched.count(),

@@ -51,6 +51,7 @@ object PageParsers {
     case "search" => parseSearch(e, html)
     case "paper"  => parsePaper(e, html)
     case "blog"   => parseBlog(e, html)
+    case "cite"   => parseCite(e, html)
     case _        => ParseResult(Vector.empty, Vector.empty)
   }
 
@@ -97,6 +98,23 @@ object PageParsers {
             e.crawlRank)),
           Vector.empty)
     }
+  }
+
+  /** Citation page (§3.3): J1 positional zip + J3 link cascade → citation
+    * records (id in `label`, the O2 sort key); R5 pagination: follow the
+    * pager's next link (same depth, pageIdx+1) until disabled.
+    */
+  private def parseCite(e: FrontierEntry, html: String): ParseResult = {
+    val doc = MiniHtml.parse(html)
+    val cits = graft.extract.CitationExtract
+      .extractCitations(doc, "col-references")
+    val records = cits.zipWithIndex.map { case (c, i) =>
+      CrawlRecord(c.url, c.id, c.title, "", "", e.crawlRank | i.toLong)
+    }
+    val next = graft.extract.CitationExtract.nextPageRef(doc, "col-references")
+      .map(href => OutLink(UrlCanon.resolve(e.url, href), "cite", e.seed,
+        e.depth, e.pageIdx + 1, 0))
+    ParseResult(records, next.toVector)
   }
 
   /** Blog page: E12 HTML→Markdown byte-contract + recursive descent (R6):

@@ -54,6 +54,7 @@ object SyntheticWeb {
   def searchHost(h: Int) = s"search$h.example.org"
   def paperHost(h: Int) = s"papers$h.example.org"
   def blogHost(h: Int) = s"blog$h.example.org"
+  def citeHost(h: Int) = s"cite$h.example.org"
 
   /** Number of result pages for search host h (skew: host 0 inflated). */
   def pagesFor(cfg: Config, h: Int): Int =
@@ -199,6 +200,53 @@ object SyntheticWeb {
        |</div></body></html>""".stripMargin
   }
 
+  // ---- citation site (arxiv/citations.py:50-84,112-127) ------------------
+
+  def citePageUrl(h: Int, p: Int) = s"https://${citeHost(h)}/refs?page=$p"
+  def citePagesPerHost(cfg: Config): Int = math.max(2, cfg.pagesPerHost - 1)
+
+  def citeId(cfg: Config, h: Int, p: Int, i: Int): String = {
+    val n = math.abs(mix(cfg.seed ^ (h.toLong << 47) ^ (p.toLong << 27) ^ (i + 41)))
+    f"24${(n % 12) + 1}%02d.${n % 99999}%05d"
+  }
+
+  /** Paginated citation page: zip-aligned bib-paper/bib-paper-links divs
+    * with the arxiv > doi > other link cascade (i%3 selects the branch)
+    * and a pager "▶" next link, disabled on the last page.
+    */
+  def citePageHtml(cfg: Config, h: Int, p: Int): String = {
+    val items = (0 until cfg.itemsPerPage).map { i =>
+      val id = citeId(cfg, h, p, i)
+      val n = mix(cfg.seed ^ (h.toLong << 48) ^ (p.toLong << 28) ^ (i + 53))
+      val w = (k: Int) => Words((math.abs(n >> (k * 5)) % Words.size).toInt)
+      val links = (i % 3) match {
+        case 0 =>
+          s"""<a href="https://arxiv.org/abs/$id">arXiv</a>
+             |<a href="https://doi.org/10.999/$id">DOI</a>
+             |<a href="https://other.example.org/$id">alt</a>""".stripMargin
+        case 1 =>
+          s"""<a href="https://doi.org/10.999/$id">DOI</a>
+             |<a href="https://other.example.org/$id">alt</a>""".stripMargin
+        case _ =>
+          s"""<a href="https://other.example.org/$id">alt</a>"""
+      }
+      s"""<div class="bib-paper">
+         |<a class="notinfluential mathjax" href="#cite$i">${w(0).capitalize} ${w(1)} and ${w(2)} methods</a>
+         |<div class="bib-paper-links">$links</div>
+         |</div>""".stripMargin
+    }.mkString("\n")
+    val last = citePagesPerHost(cfg) - 1
+    val pager =
+      if (p < last)
+        s"""<a title="Next Page" href="/refs?page=${p + 1}">▶</a>"""
+      else
+        s"""<a title="Next Page" class="disabled" href="#">▶</a>"""
+    s"""<html><body><div id="col-references">
+       |$items
+       |<div class="pagination">$pager</div>
+       |</div></body></html>""".stripMargin
+  }
+
   /** Flaky marker: pages failing their first n fetch attempts (R2/R3). */
   def isFlaky(cfg: Config, h: Int, p: Int, i: Int): Boolean =
     (math.abs(mix(cfg.seed ^ (h.toLong << 45) ^ (p.toLong << 25) ^ (i + 3))) % 7) == 3
@@ -230,7 +278,10 @@ object SyntheticWeb {
       val blogs = blogPaths.map { case (path, d) =>
         (blogUrl(h, path), "blog", h, 0, 0, d, path)
       }
-      search ++ papers ++ blogs
+      val cites = (0 until citePagesPerHost(cfg)).map { p =>
+        (citePageUrl(h, p), "cite", h, p, 0, 0, "")
+      }
+      search ++ papers ++ blogs ++ cites
     }
   }
 
@@ -241,6 +292,7 @@ object SyntheticWeb {
       val html = kind match {
         case "search" => searchPageHtml(cfg, h, p)
         case "paper"  => paperPageHtml(cfg, h, p, i)
+        case "cite"   => citePageHtml(cfg, h, p)
         case _        => blogPageHtml(cfg, h, path, depth)
       }
       val text = kind match {
@@ -264,7 +316,9 @@ object SyntheticWeb {
       Seed(h, searchSeedUrl(h), "search", s"q$h"))
     val b = (0 until cfg.nHosts).map(h =>
       Seed(cfg.nHosts + h, blogUrl(h, "root"), "blog", ""))
-    spark.createDataset(s ++ b)
+    val c = (0 until cfg.nHosts).map(h =>
+      Seed(2 * cfg.nHosts + h, citePageUrl(h, 0), "cite", ""))
+    spark.createDataset(s ++ b ++ c)
   }
 
   final case class Robots(host: String, disallow_prefixes: Seq[String],

@@ -62,12 +62,20 @@ object PoliteScheduler {
       extends Aggregator[FrontierEntry, Seq[FrontierEntry], Seq[FrontierEntry]] {
     private def keyOf(e: FrontierEntry) =
       (e.seed, e.depth, e.pageIdx, e.posInPage, e.urlHash)
+    // amortized bound: buffers grow unsorted and compact (sort + truncate)
+    // only past 2× budget, so per-row cost is O(1) amortized instead of a
+    // sort per insert; `finish` does the single final sort.
+    private def compactAt: Int = math.max(
+      if (budget >= Int.MaxValue / 2) Int.MaxValue else 2 * budget, 1024)
+    private def compact(b: Seq[FrontierEntry]): Seq[FrontierEntry] =
+      if (b.length > compactAt) b.sortBy(keyOf).take(budget) else b
     def zero: Seq[FrontierEntry] = Vector.empty
     def reduce(b: Seq[FrontierEntry], e: FrontierEntry): Seq[FrontierEntry] =
-      ((b :+ e).sortBy(keyOf)).take(budget)
+      compact(b :+ e)
     def merge(a: Seq[FrontierEntry], b: Seq[FrontierEntry]): Seq[FrontierEntry] =
-      ((a ++ b).sortBy(keyOf)).take(budget)
-    def finish(b: Seq[FrontierEntry]): Seq[FrontierEntry] = b
+      compact(a ++ b)
+    def finish(b: Seq[FrontierEntry]): Seq[FrontierEntry] =
+      b.sortBy(keyOf).take(budget)
     def bufferEncoder: Encoder[Seq[FrontierEntry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[FrontierEntry]]()
     def outputEncoder: Encoder[Seq[FrontierEntry]] = bufferEncoder
@@ -118,5 +126,57 @@ object PoliteScheduler {
           Scheduled(e, slot, waveStartMs + slot * delay)
         }
       }
+  }
+
+  /** Window-function twin of [[schedule]]: row_number over
+    * (partitionBy host, orderBy crawl order) ≤ budget, slot/notBefore from
+    * the row number. Produces the IDENTICAL wave (SchedulerSpec proves it)
+    * but stays entirely in Tungsten rows — no per-host object buffers
+    * through the shuffle — which is what you want when a single wave holds
+    * 10^7+ rows. The typed-Aggregator variant remains the default
+    * (north-rule surface + map-side partial top-k when budget ≪ rows/host).
+    */
+  def scheduleSql(frontier: Dataset[FrontierEntry], robots: Dataset[Robots],
+      waveStartMs: Long, cfg: Config = Config()): Dataset[Scheduled] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val robotsMap: Map[String, (Seq[String], Long)] =
+      robots.collect().map(r => r.host -> ((r.disallow_prefixes, r.crawl_delay_ms))).toMap
+    val bc = spark.sparkContext.broadcast(robotsMap)
+    val defaultDelay = cfg.defaultDelayMs
+
+    val allowed = frontier.filter { e =>
+      bc.value.get(e.host) match {
+        case Some((prefixes, _)) =>
+          val p = {
+            val i = e.url.indexOf("://")
+            val rest = if (i >= 0) e.url.substring(i + 3) else e.url
+            val j = rest.indexOf('/')
+            if (j >= 0) rest.substring(j) else "/"
+          }
+          !prefixes.exists(p.startsWith)
+        case None => true
+      }
+    }
+
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("seed"), col("depth"), col("pageIdx"), col("posInPage"),
+        col("urlHash"))
+    val delayUdf = udf((host: String) =>
+      bc.value.get(host).map(_._2).getOrElse(defaultDelay))
+    allowed.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cfg.hostBudget)
+      .withColumn("slot", (col("rn") - 1).cast("int"))
+      .withColumn("notBefore",
+        lit(waveStartMs) + col("slot").cast("long") * delayUdf(col("host")))
+      .select(
+        struct(col("url"), col("urlHash"), col("host"), col("kind"),
+          col("seed"), col("depth"), col("pageIdx"), col("posInPage"),
+          col("attempts")).as("entry"),
+        col("slot"), col("notBefore"))
+      .as[Scheduled]
   }
 }

@@ -202,6 +202,55 @@ object CoreQueries {
         sum(when(!blockedPred, 1L).otherwise(0L)).as("kept"))
   }
 
+  /** S4 (name2arxivid.py:147-175) + E10/E11: title → clean → search
+    * variants → lookup join against a small api index (the Atom API as a
+    * broadcast-joined table, SURVEY.md S4), first variant (O5) wins.
+    * The index here is derived from the same corpus (every doc's cleaned
+    * full text head is "resolvable"), making hits deterministic.
+    */
+  def apiLookup(s: SparkSession, dir: String): DataFrame = {
+    val cleanUdf = udf((t: String) => graft.extract.TitleClean.cleanTitle(t))
+    val variantsUdf = udf((t: String) =>
+      graft.extract.TitleClean.searchVariants(t))
+    val docs = t(s, dir, "documents")
+      .withColumn("title", substring(col("text"), 1, 64))
+    val apiIndex = docs
+      .select(cleanUdf(col("title")).as("variant"),
+        col("doc_id").as("resolved_id"))
+      .groupBy("variant").agg(min("resolved_id").as("resolved_id"))
+    val exploded = docs
+      .select(col("doc_id"),
+        posexplode(variantsUdf(col("title"))).as(Seq("variant_rank", "variant")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("variant_rank")
+    exploded
+      .join(broadcast(apiIndex), Seq("variant"), "left")
+      .filter(col("resolved_id").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // first matching variant wins (O5)
+      .select(col("doc_id"), col("variant_rank"), col("resolved_id"))
+      .orderBy("doc_id")
+  }
+
+  /** S7/O3 (util/file.py:30-33): numeric sort with lexicographic fallback
+    * — order by the first integer embedded in the name, names without a
+    * number after all numbered ones (Python sorts ints before its
+    * fallback branch puts strings separately; here: numbered first by
+    * value, then unnumbered lexicographically).
+    */
+  def numericSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("source"), lit("_"), col("lang")).as("name"))
+      .withColumn("num",
+        regexp_extract(col("name"), "\\d+", 0))
+      .withColumn("num_key",
+        when(col("num") === "", lit(Long.MaxValue))
+          .otherwise(col("num").cast("long")))
+      .orderBy(col("num_key"), col("name"), col("doc_id"))
+      .select("doc_id", "name", "num_key")
+      .limit(500)
+
   /** E20 (zotero/title.py:38-42): tag classification into
     * top_conference / survey / other partitions — the reference's
     * three-way set-membership split as a CASE cascade.

@@ -70,6 +70,16 @@ object CrawlPipelines {
       .agg(count(lit(1)).as("n"))
       .orderBy("label")
 
+  /** §3.3 citations: one-hop citation expansion (R5 pagination), output
+    * sorted ascending by id exactly as the reference saves it (O2,
+    * citations.py:145).
+    */
+  def citations(s: SparkSession, dir: String): DataFrame =
+    result(s).records
+      .filter(col("url").rlike("arxiv\\.org|doi\\.org|other\\.example"))
+      .select(col("label").as("id"), col("title"), col("url"))
+      .orderBy("id", "url")
+
   /** R8 metrics: per-host per-wave fetch outcomes from fetch_log — the
     * engine's lineage/metrics surface (north_rule).
     */

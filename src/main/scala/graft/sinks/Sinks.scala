@@ -1,0 +1,77 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink formatters replicating the reference's output byte formats
+  * (SURVEY.md §2.1 K1-K5). Each produces the exact file CONTENT as ordered
+  * rows; the physical write is `df.write` (distributed) or a
+  * single-partition text write where the reference's format demands one
+  * serial file.
+  *
+  * Scale note: every ordered sink sorts by `crawl_rank` — a range-
+  * partitioned sort, the one unavoidable shuffle (the contract IS the
+  * order). Per-key files use `partitionBy` so each key's file is written
+  * by its own task; nothing funnels through the driver.
+  */
+object Sinks {
+
+  /** K1 (arxiv/search_pdf_string.py:190-200): cleaned, minimally-quoted
+    * CSV. Field cleaning: strip + newline/CR → space; quoting rule =
+    * Python csv QUOTE_MINIMAL (quote only when the field contains
+    * delimiter, quote char, or newline — post-clean, newlines are gone, so
+    * comma/quote only; quotes doubled).
+    */
+  def cleanField(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\r\n]", " "), "^\\s+|\\s+$", ""))
+
+  def quoteMinimal(c: Column): Column =
+    when(c.contains(",") || c.contains("\""),
+      concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+      .otherwise(c)
+
+  /** One CSV line per row over the given columns, K1 semantics. */
+  def csvLine(cols: Seq[Column]): Column =
+    concat_ws(",", cols.map(c => quoteMinimal(cleanField(c))): _*)
+
+  /** K2 (arxiv/search_pdf.py:104-110): the naive `','.join(values)` variant
+    * — NO quoting, NO cleaning (byte-compat means not using a csv writer).
+    */
+  def naiveCsvLine(cols: Seq[Column]): Column = concat_ws(",", cols: _*)
+
+  /** K3 (new.py:58-62 + WriteTxt): ordered markdown digest per key — all
+    * blocks of a key concatenated in crawl order into one string column
+    * (the file body). sort_array on (rank, block) structs keeps the
+    * aggregation a single hash-agg instead of a global sort.
+    */
+  def orderedDigest(df: DataFrame, key: Column, rank: Column,
+      block: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(concat_ws("",
+        sort_array(collect_list(struct(rank.as("r"), block.as("b"))))
+          .getField("b")).as("body"))
+
+  /** K4 (new.py:79-82): the appended counts row
+    * `"\n{date},n1,…,n8"` — subjects pivoted wide in the FIXED subject
+    * order (dict order in the reference), one formatted line per date.
+    */
+  def countsRow(df: DataFrame, date: Column, subject: Column,
+      subjects: Seq[String]): DataFrame = {
+    val wide = df.groupBy(date.as("date"))
+      .pivot("subject", subjects)
+      .count().na.fill(0L)
+    wide.select(col("date"),
+      concat_ws(",", col("date") +: subjects.map(s => col(s"`$s`")): _*)
+        .as("line"))
+  }
+
+  /** K5 (search_pdf_string.py:176-188): dir-per-label artifact layout —
+    * rows keyed (label, file_name) with the binary payload; physical form
+    * is `write.partitionBy("label")`, mirroring `dir/label/name.pdf`.
+    */
+  def artifactLayout(df: DataFrame, label: Column, url: Column,
+      payload: Column): DataFrame =
+    df.select(label.as("label"),
+      element_at(split(url, "/"), -1).as("file_name"),
+      payload.as("payload"))
+}

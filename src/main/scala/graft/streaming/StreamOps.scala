@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators for continuous ingestion — the streaming
+  * twin of the batch crawl tables. The reference is batch-iterative
+  * (SURVEY.md §2.9: no watermarks, no event time), so these cover the
+  * engine-side streaming surface a production crawl feed needs:
+  * micro-batch URL dedup (the streaming URL-seen), watermarked windowed
+  * fetch metrics, and per-host stateful politeness accounting.
+  *
+  * All transforms are source-agnostic (`readStream` file/kafka sources and
+  * `MemoryStream` in tests plug in unchanged) and use event-time
+  * watermarks so state is bounded: at 10^10-URL scale the dedup and
+  * window state stores stay O(events within the watermark), not O(history).
+  */
+object StreamOps {
+
+  /** Streaming URL-seen: watermarked dropDuplicates on the canonical url
+    * hash — Spark's stateful dedup operator keyed exactly like the batch
+    * Bloom/anti-join layer. Late arrivals beyond the watermark age out of
+    * the state store instead of growing it forever.
+    */
+  def streamingUrlDedup(urls: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    urls
+      .withWatermark("event_ts", watermark)
+      .dropDuplicates("url_hash", "event_ts")
+
+  /** Watermarked sliding-window fetch metrics: events → per-window,
+    * per-status counts. Append-mode compatible (final counts emitted once
+    * the watermark passes the window end).
+    */
+  def windowedFetchMetrics(events: DataFrame, window_ : String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), window_), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("status"), col("n"))
+
+  /** Per-host running fetch budget over the stream — an update-mode
+    * aggregation keyed by host, the streaming analogue of the politeness
+    * scheduler's per-host accounting (A5).
+    */
+  def hostBudgetAccounting(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("host"), window(col("event_ts"), "1 minute"))
+      .agg(count(lit(1)).as("fetches"),
+        max(col("event_ts")).as("last_fetch"))
+      .select(col("host"), col("window.start").as("w_start"),
+        col("fetches"), col("last_fetch"))
+}

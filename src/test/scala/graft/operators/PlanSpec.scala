@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-plan audits: the queries must not merely be correct — the
+  * plans must be the ones that survive a 100× scale-up. Each assertion
+  * pins a plan property that a regression (dropped broadcast, lost
+  * pushdown, accidental cartesian) would silently destroy.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("lookup join broadcasts the dimension tables (no shuffle of the " +
+    "fact side)") {
+    val p = plan(CoreQueries.lookupJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("blocked-keywords filter reaches the parquet scan (pushdown + " +
+    "column pruning)") {
+    val df = CoreQueries.blockedKeywords(spark, dir)
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("StringContains"), s"no pushed contains-filter in:\n$p")
+    // projection pruning: the scan must not read the full row
+    assert(p.contains("ReadSchema"))
+    assert(!p.substring(p.indexOf("ReadSchema")).take(300).contains("props"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort shuffle)") {
+    val p = plan(CoreQueries.topK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("anti-join seen-check broadcasts the small seen side") {
+    val p = plan(CoreQueries.antiJoinSeen(spark, dir))
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("Broadcast"), "anti join should broadcast at this size")
+  }
+
+  test("embedding near-dup is a blocked equi-join — never a cartesian " +
+    "product") {
+    val p = plan(SimilarityQueries.embedNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"), s"expected an equi-join in:\n$p")
+  }
+
+  test("quality scoring: scan is columnar-batched and the plan has " +
+    "whole-stage-codegen spans") {
+    val p = plan(TextQueries.qualityScore(spark, dir))
+    // '*'-prefixed operators are inside WholeStageCodegen spans; the
+    // higher-order-function Project is expression-eval (no codegen for
+    // lambda HOFs) but sits directly on a batched columnar scan.
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+    assert(p.contains("Batched: true"))
+  }
+
+  test("minhash LSH: no cartesian; the band bucket join is an equi-join") {
+    val p = plan(DedupQueries.minhashLsh(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
