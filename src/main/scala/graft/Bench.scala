@@ -118,6 +118,7 @@ object Bench {
 
     // ---- phase 1: driver-contract queries on sfDir -----------------------
     var spark = newSession(cpus, cpus)
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
     SparkEntry.queries.foreach { case (name, fn) =>
       val (_, sec) = time {
         try fn(spark, sfDir).count()
@@ -147,7 +148,7 @@ object Bench {
     // ---- phase 3: wave pipeline at two parallelism levels ---------------
     // big flat web: papers dominate (DOM parse is the CPU cost)
     val bigCfg = SyntheticWeb.Config(seed = 9L, nHosts = 512,
-      pagesPerHost = 60, itemsPerPage = 50, blogDepth = 1, blogFanout = 2)
+      pagesPerHost = 30, itemsPerPage = 50, blogDepth = 1, blogFanout = 2)
     val webDir = java.nio.file.Files
       .createTempDirectory("bench-web").toString + "/pages"
     SyntheticWeb.pages(spark, bigCfg).write.mode("overwrite").parquet(webDir)

@@ -101,24 +101,33 @@ object UrlSeen {
       .agg(agg(col("url_hash")).as("sketch"))
   }
 
-  private def mightContainUdf(k: Int) =
-    udf((sketch: Array[Byte], hash: Long) =>
-      sketch == null || Bloom.contains(Bloom.fromBytes(sketch), hash, k))
-
   /** Bloom pre-filter: drop candidates definitely not in `segments`.
-    * Broadcast the (tiny) segment table; null sketch (empty bucket) ⇒ keep
-    * nothing? No — null means bucket never built ⇒ definitely unseen.
+    *
+    * The segment table is tiny (nBuckets rows), so it is collected once
+    * and broadcast as a deserialized `Map[bucket → long-words]`; the probe
+    * is then a pure per-row function over the broadcast — no join, no
+    * per-row `fromBytes` copy of the 8 KiB sketch (the naive
+    * broadcast-join formulation deserializes the sketch for EVERY
+    * candidate row). A bucket absent from the map was never built ⇒ the
+    * candidate is definitely unseen.
     */
   def mightBeSeen(candidates: DataFrame, segments: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val withBucket = candidates
-      .withColumn("bucket", bucketOf(col("url_hash"), cfg.nBuckets))
-    withBucket
-      .join(broadcast(segments), Seq("bucket"), "left")
-      .withColumn("might_seen",
-        col("sketch").isNotNull &&
-          mightContainUdf(cfg.k)(col("sketch"), col("url_hash")))
-      .drop("sketch", "bucket")
+    val spark = candidates.sparkSession
+    val segMap: Map[Int, Array[Long]] = segments.collect().map { r =>
+      r.getAs[Long]("bucket").toInt -> Bloom.fromBytes(r.getAs[Array[Byte]]("sketch"))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(segMap)
+    val k = cfg.k
+    val nb = cfg.nBuckets
+    val probeUdf = udf((hash: Long) => {
+      val bucket = java.lang.Math.floorMod(hash, nb.toLong).toInt
+      bc.value.get(bucket) match {
+        case Some(words) => Bloom.contains(words, hash, k)
+        case None        => false
+      }
+    })
+    candidates.withColumn("might_seen", probeUdf(col("url_hash")))
   }
 
   /** Full unseen filter: bloom pre-filter (cheap, broadcast, no shuffle of
