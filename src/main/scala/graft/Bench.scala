@@ -85,8 +85,8 @@ object Bench {
   def wavePipeline(s: SparkSession, pagesDir: String): (Long, Long) = {
     import s.implicits._
     val pages = s.read.parquet(pagesDir)
-    val hashUdf = udf((u: String) => CrawlLoop.hash64(u))
-    val keyed = pages.select(hashUdf(col("url")).as("url_hash"), col("html"))
+    val keyed = pages.select(
+      graft.url.UrlCols.urlHash64(col("url")).as("url_hash"), col("html"))
     val frontier = pages.select(col("url")).as[String].map { u =>
       val kind =
         if (u.contains("//search")) "search"

@@ -46,7 +46,15 @@ object CrawlLoop extends Serializable {
       seenCfg: UrlSeen.Config = UrlSeen.Config(),
       maxAttempts: Int = 3, // R2: drop after 3 tries
       maxWaves: Int = 64,
-      useBloom: Boolean = true
+      useBloom: Boolean = true,
+      // below this seen-set size the bloom build costs more than the
+      // anti-join it accelerates — skip it (the exact join is always the
+      // authority, so this is purely a cost knob)
+      bloomMinSeen: Long = 4096L,
+      // "agg" = typed Aggregator (map-side bounded top-k; default),
+      // "sql" = window-function twin (Tungsten-only, for huge waves).
+      // SchedulerSpec proves the two produce identical waves.
+      schedulerImpl: String = "agg"
   )
 
   final case class FetchLogRow(url_hash: Long, host: String, wave: Int,
@@ -101,9 +109,11 @@ object CrawlLoop extends Serializable {
         case None => true
       }
 
-    val hashUdf = udf((u: String) => hash64(UrlCanon.canonicalize(u)))
+    // native codegen expression (graft.functions.UrlHash64), not a UDF —
+    // this runs once per page per crawl, the widest map in the engine
     val pagesKeyed = pages
-      .select(hashUdf(col("url")).as("url_hash"), col("html"))
+      .select(graft.url.UrlCols.urlHash64(col("url")).as("url_hash"),
+        col("html"))
       .cache()
 
     // resume (north_rule): pick up from the last committed snapshot
@@ -122,11 +132,15 @@ object CrawlLoop extends Serializable {
     var seen = seen0
     var wave = startWave
     var frontierCount = frontier.count()
+    var seenCount = seen.count()
 
     while (frontierCount > 0 && wave < cfg.maxWaves) {
       val waveStart = wave.toLong * 1000000L
       val sched: Dataset[Scheduled] =
-        PoliteScheduler.schedule(frontier, robots, waveStart, cfg.scheduler)
+        if (cfg.schedulerImpl == "sql")
+          PoliteScheduler.scheduleSql(frontier, robots, waveStart, cfg.scheduler)
+        else
+          PoliteScheduler.schedule(frontier, robots, waveStart, cfg.scheduler)
 
       // fetch = equi-join against the pages table (left: missing ⇒ 404)
       val fetched = sched
@@ -163,7 +177,9 @@ object CrawlLoop extends Serializable {
         .filter(col("rn") === 1).drop("rn")
       val candidates = dedupedLinks.withColumnRenamed("urlHash", "url_hash")
       val segments =
-        if (cfg.useBloom) Some(UrlSeen.buildSegments(seen, cfg.seenCfg)) else None
+        if (cfg.useBloom && seenCount >= cfg.bloomMinSeen)
+          Some(UrlSeen.buildSegments(seen, cfg.seenCfg))
+        else None
       val newEntries = UrlSeen
         .filterUnseen(candidates, seen, segments, cfg.seenCfg)
         .withColumnRenamed("url_hash", "urlHash")
@@ -224,6 +240,7 @@ object CrawlLoop extends Serializable {
       seen = store.table(snap, "seen").get
       frontierCount = metrics("new_links") + metrics("retries") +
         (frontierCount - metrics("scheduled"))
+      seenCount += metrics("new_links")
       fetched.unpersist()
       parsed.unpersist()
       wave += 1

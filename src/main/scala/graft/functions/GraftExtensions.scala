@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the engine's native functions
+  * with the SQL surface:
+  *
+  *   spark.sql("SELECT url_hash64(url), url_canon(url) FROM pages")
+  *
+  * Install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
+  * plug-point, so a cluster operator enables them with one conf line.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("url_canon"),
+      new ExpressionInfo(classOf[CanonicalizeUrl].getName, "url_canon"),
+      (children: Seq[Expression]) => CanonicalizeUrl(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_hash64"),
+      new ExpressionInfo(classOf[UrlHash64].getName, "url_hash64"),
+      (children: Seq[Expression]) => UrlHash64(children.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Install the same functions on an already-built session (temp
+    * functions) — for hosts that construct the SparkSession themselves.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.registerTempFunction(spark, "url_canon",
+      children => CanonicalizeUrl(children.head))
+    ColumnBridge.registerTempFunction(spark, "url_hash64",
+      children => UrlHash64(children.head))
+  }
+}

@@ -19,6 +19,17 @@ object UrlCols {
   def canon(url: Column): Column = canonicalizeUdf(url)
   def host(url: Column): Column = hostUdf(url)
 
+  /** Native-expression variants (graft.functions): stay inside
+    * whole-stage codegen, unlike the udf bridge above.
+    */
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  def canonExpr(url: Column): Column =
+    ColumnBridge.column(graft.functions.CanonicalizeUrl(
+      ColumnBridge.expression(url)))
+  def urlHash64(url: Column): Column =
+    ColumnBridge.column(graft.functions.UrlHash64(
+      ColumnBridge.expression(url)))
+
   /** Host-salted 64-bit hash of the canonical URL. */
   def urlHash(canonUrl: Column): Column =
     xxhash64(hostUdf(canonUrl), canonUrl)

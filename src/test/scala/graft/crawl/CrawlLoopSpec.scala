@@ -35,7 +35,8 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     itemsPerPage = 4, blogDepth = 2, blogFanout = 2)
   val crawlCfg = CrawlLoop.Config(
     scheduler = PoliteScheduler.Config(hostBudget = 3, defaultDelayMs = 1000L),
-    maxWaves = 32)
+    maxWaves = 32,
+    bloomMinSeen = 0L) // force the bloom path at test scale
 
   final case class SimResult(
       records: Vector[PageParsers.CrawlRecord],
@@ -202,6 +203,17 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng == sim.records.sortBy(_.crawl_rank))
     val engSeen = resumed.seen.collect().map(_.getLong(0)).toSet
     assert(engSeen == sim.seen)
+  }
+
+  test("sql (window) scheduler variant produces the identical crawl") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-sql")
+    val store = new SnapshotStore(dir.toString, spark)
+    val res = CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs, store,
+      crawlCfg.copy(schedulerImpl = "sql"))
+    import spark.implicits._
+    val eng = res.records.as[PageParsers.CrawlRecord]
+      .collect().sortBy(_.crawl_rank).toVector
+    assert(eng == sim.records.sortBy(_.crawl_rank))
   }
 
   test("ordering invariance under repartition: records identical at " +
