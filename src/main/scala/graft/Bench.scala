@@ -129,8 +129,11 @@ object Bench {
     }
 
     // ---- phase 2: end-to-end crawl loop ---------------------------------
-    val webCfg = SyntheticWeb.Config(seed = 7L, nHosts = 16,
-      pagesPerHost = 4, itemsPerPage = 20, blogDepth = 2, blogFanout = 3,
+    // larger waves than the test config: per-wave driver overhead (a
+    // fixed ~10 jobs/wave) amortizes over ~4k fetches/wave, which is the
+    // shape real waves have
+    val webCfg = SyntheticWeb.Config(seed = 7L, nHosts = 48,
+      pagesPerHost = 4, itemsPerPage = 40, blogDepth = 2, blogFanout = 3,
       skewFactor = 2.0)
     val (crawlRes, crawlSec) = time {
       val dir = java.nio.file.Files.createTempDirectory("bench-crawl")
@@ -138,7 +141,7 @@ object Bench {
         SyntheticWeb.seeds(spark, webCfg), SyntheticWeb.robots(spark, webCfg),
         new graft.store.SnapshotStore(dir.toString, spark),
         CrawlLoop.Config(scheduler =
-          PoliteScheduler.Config(hostBudget = 256, defaultDelayMs = 1L),
+          PoliteScheduler.Config(hostBudget = 2048, defaultDelayMs = 1L),
           maxWaves = 24))
     }
     val crawlUrls = crawlRes.fetchLog.count()

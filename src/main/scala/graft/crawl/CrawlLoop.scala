@@ -140,7 +140,8 @@ object CrawlLoop extends Serializable {
         if (cfg.schedulerImpl == "sql")
           PoliteScheduler.scheduleSql(frontier, robots, waveStart, cfg.scheduler)
         else
-          PoliteScheduler.schedule(frontier, robots, waveStart, cfg.scheduler)
+          PoliteScheduler.scheduleWithMap(frontier, robotsMap, waveStart,
+            cfg.scheduler)
 
       // fetch = equi-join against the pages table (left: missing ⇒ 404)
       val fetched = sched

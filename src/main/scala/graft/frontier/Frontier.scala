@@ -90,15 +90,19 @@ object PoliteScheduler {
     * overrides the default politeness delay.
     */
   def schedule(frontier: Dataset[FrontierEntry], robots: Dataset[Robots],
+      waveStartMs: Long, cfg: Config = Config()): Dataset[Scheduled] =
+    scheduleWithMap(frontier,
+      robots.collect().map(r => r.host -> ((r.disallow_prefixes, r.crawl_delay_ms))).toMap,
+      waveStartMs, cfg)
+
+  /** Same, with the (tiny) robots table already collected — callers that
+    * loop over waves collect it once, not once per wave.
+    */
+  def scheduleWithMap(frontier: Dataset[FrontierEntry],
+      robotsMap: Map[String, (Seq[String], Long)],
       waveStartMs: Long, cfg: Config = Config()): Dataset[Scheduled] = {
     val spark = frontier.sparkSession
     import spark.implicits._
-
-    // robots is small by construction (one row per host family) → collect
-    // once per wave and broadcast as a plain map: prefix filter + delay
-    // lookup run codegen-side with zero join shuffles.
-    val robotsMap: Map[String, (Seq[String], Long)] =
-      robots.collect().map(r => r.host -> ((r.disallow_prefixes, r.crawl_delay_ms))).toMap
     val bc = spark.sparkContext.broadcast(robotsMap)
     val defaultDelay = cfg.defaultDelayMs
 
