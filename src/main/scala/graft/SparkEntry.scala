@@ -60,7 +60,8 @@ object SparkEntry {
     "q41_crawl_digest" -> (CrawlPipelines.digest _),
     "q42_crawl_label_counts" -> (CrawlPipelines.labelCounts _),
     "q43_crawl_host_metrics" -> (CrawlPipelines.hostMetrics _),
-    "q44_crawl_citations" -> (CrawlPipelines.citations _)
+    "q44_crawl_citations" -> (CrawlPipelines.citations _),
+    "q45_listing_digest" -> (CrawlPipelines.listingDigest _)
   )
 
   def oracleSql: Map[String, String] = Map(

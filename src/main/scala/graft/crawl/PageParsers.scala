@@ -52,7 +52,24 @@ object PageParsers {
     case "paper"  => parsePaper(e, html)
     case "blog"   => parseBlog(e, html)
     case "cite"   => parseCite(e, html)
+    case "list"   => parseListing(e, html)
     case _        => ParseResult(Vector.empty, Vector.empty)
+  }
+
+  /** Daily listing page (§3.2, new.py:36-49): one record carrying the
+    * listing's date (label "listing", title = "YYYY-MM-DD"); out-links =
+    * the dl[1] article urls in document order at depth+1 — they resolve
+    * to abs pages whose E4+E9 digests feed the per-subject digest sink.
+    */
+  private def parseListing(e: FrontierEntry, html: String): ParseResult = {
+    val (urls, date) = graft.extract.ArxivExtract.parseListing(html)
+    val links = urls.zipWithIndex.map { case (u, i) =>
+      OutLink(UrlCanon.resolve(e.url, u), "paper", e.seed, e.depth + 1,
+        e.pageIdx, i)
+    }
+    ParseResult(
+      Vector(CrawlRecord(e.url, "listing", date, "", "", e.crawlRank)),
+      links)
   }
 
   /** Search result page: E2 item parse → records; out-links = sibling

@@ -55,6 +55,7 @@ object SyntheticWeb {
   def paperHost(h: Int) = s"papers$h.example.org"
   def blogHost(h: Int) = s"blog$h.example.org"
   def citeHost(h: Int) = s"cite$h.example.org"
+  def listHost(h: Int) = s"list$h.example.org"
 
   /** Number of result pages for search host h (skew: host 0 inflated). */
   def pagesFor(cfg: Config, h: Int): Int =
@@ -200,6 +201,36 @@ object SyntheticWeb {
        |</div></body></html>""".stripMargin
   }
 
+  // ---- listing site (new.py:36-49, §3.2 daily-digest pipeline) -----------
+
+  def listPageUrl(h: Int) = s"https://${listHost(h)}/new"
+  /** Listing-discovered abs pages live on a synthetic `arxiv.org` host
+    * because parseListing prefixes hrefs with the literal
+    * "https://arxiv.org" exactly as the reference does (new.py:43).
+    */
+  def listPaperCoord(h: Int): Int = 1000 + h
+  def arxivAbsUrl(cfg: Config, h: Int, i: Int): String =
+    s"https://arxiv.org/abs/${paperId(cfg, h, listPaperCoord(h), i)}"
+
+  /** Daily listing page: dl[1] of dt/span/a article hrefs (ONLY_NEW) and
+    * a date line with a TWO-digit year (the reference builds the date as
+    * "20" + DateNum(line.split(',')[-1]), new.py:48).
+    */
+  def listPageHtml(cfg: Config, h: Int): String = {
+    val (d, mon, y) = dateOf(cfg, h, 999, 0)
+    val items = (0 until cfg.itemsPerPage).map { i =>
+      val id = paperId(cfg, h, listPaperCoord(h), i)
+      s"""<dt><span><a href="/abs/$id">arXiv:$id</a> [pdf]</span></dt>
+         |<dd>placeholder</dd>""".stripMargin
+    }.mkString("\n")
+    s"""<html><body><div><div>
+       |<div>Wed, $d $mon ${y % 100}</div>
+       |<dl>
+       |$items
+       |</dl>
+       |</div></div></body></html>""".stripMargin
+  }
+
   // ---- citation site (arxiv/citations.py:50-84,112-127) ------------------
 
   def citePageUrl(h: Int, p: Int) = s"https://${citeHost(h)}/refs?page=$p"
@@ -281,7 +312,11 @@ object SyntheticWeb {
       val cites = (0 until citePagesPerHost(cfg)).map { p =>
         (citePageUrl(h, p), "cite", h, p, 0, 0, "")
       }
-      search ++ papers ++ blogs ++ cites
+      val listing = Seq((listPageUrl(h), "list", h, 0, 0, 0, ""))
+      val arxivPapers = (0 until cfg.itemsPerPage).map { i =>
+        (arxivAbsUrl(cfg, h, i), "paper", h, listPaperCoord(h), i, 0, "")
+      }
+      search ++ papers ++ blogs ++ cites ++ listing ++ arxivPapers
     }
   }
 
@@ -293,6 +328,7 @@ object SyntheticWeb {
         case "search" => searchPageHtml(cfg, h, p)
         case "paper"  => paperPageHtml(cfg, h, p, i)
         case "cite"   => citePageHtml(cfg, h, p)
+        case "list"   => listPageHtml(cfg, h)
         case _        => blogPageHtml(cfg, h, path, depth)
       }
       val text = kind match {
@@ -318,7 +354,9 @@ object SyntheticWeb {
       Seed(cfg.nHosts + h, blogUrl(h, "root"), "blog", ""))
     val c = (0 until cfg.nHosts).map(h =>
       Seed(2 * cfg.nHosts + h, citePageUrl(h, 0), "cite", ""))
-    spark.createDataset(s ++ b ++ c)
+    val l = (0 until cfg.nHosts).map(h =>
+      Seed(3 * cfg.nHosts + h, listPageUrl(h), "list", s"subject$h"))
+    spark.createDataset(s ++ b ++ c ++ l)
   }
 
   final case class Robots(host: String, disallow_prefixes: Seq[String],

@@ -80,6 +80,29 @@ object CrawlPipelines {
       .select(col("label").as("id"), col("title"), col("url"))
       .orderBy("id", "url")
 
+  /** §3.2 listing digest (new.py end-to-end): listing pages contribute
+    * the (subject=seed, date) key; their discovered abs pages contribute
+    * ordered digests — output is one row per digest file
+    * `{subject}/{date}.md` with its paper count and body length (K3),
+    * plus the A1 counts-row inputs.
+    */
+  def listingDigest(s: SparkSession, dir: String): DataFrame = {
+    val r = result(s).records
+    val listings = r.filter(col("label") === "listing")
+      .select(shiftright(col("crawl_rank"), 50).as("seed"),
+        col("title").as("date"))
+    val papers = r.filter(col("url").startsWith("https://arxiv.org/"))
+      .withColumn("seed", shiftright(col("crawl_rank"), 50))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_papers"),
+        length(concat_ws("", sort_array(
+          collect_list(struct(col("crawl_rank"), col("extracted_md"))))
+          .getField("extracted_md"))).as("digest_len"))
+    listings.join(papers, Seq("seed"), "left")
+      .na.fill(0L, Seq("n_papers", "digest_len"))
+      .orderBy("seed")
+  }
+
   /** R8 metrics: per-host per-wave fetch outcomes from fetch_log — the
     * engine's lineage/metrics surface (north_rule).
     */
