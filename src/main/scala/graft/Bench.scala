@@ -119,18 +119,31 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=scaling skips phases 1-2 (fast iteration on
     // the scaling legs; the driver never sets it)
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")
+    // SPARK_GRAFT_BENCH_QUERIES=q21,q22 runs only matching phase-1 queries
+    // and skips phases 2-3 (builder-side iteration; the driver never sets it)
+    val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     // ---- phase 1: driver-contract queries on sfDir -----------------------
     var spark = newSession(cpus, cpus)
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
     (if (scalingOnly) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => DataFrame]
      else SparkEntry.queries).foreach { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      if (onlyQueries.forall(f => f.exists(name.startsWith))) {
+        val (_, sec) = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        }
+        results(name) = sec
       }
-      results(name) = sec
+    }
+    if (onlyQueries.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"query_subset_sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
     }
 
     // ---- phase 2: end-to-end crawl loop ---------------------------------

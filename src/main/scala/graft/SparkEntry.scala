@@ -189,12 +189,15 @@ object SparkEntry {
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
         |  ELSE []::VARCHAR[] END AS sh FROM w),
         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |kept AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM inv) WHERE df <= 64),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    count(*) AS inter
-        |  FROM inv a JOIN inv b ON a.shingle = b.shingle
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle
         |    AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(sh) AS sz FROM docs)
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
         |SELECT doc_a, doc_b,
         |  CAST(floor(inter*100.0/(sa.sz+sb.sz-inter)) AS BIGINT)
         |    AS jaccard_pct

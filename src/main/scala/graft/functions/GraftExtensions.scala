@@ -24,10 +24,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("url_hash64"),
       new ExpressionInfo(classOf[UrlHash64].getName, "url_hash64"),
       (children: Seq[Expression]) => UrlHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => GraftExtensions.shinglesBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => GraftExtensions.minhashBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }
 
 object GraftExtensions {
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  /** word_shingles(text[, n=3]) */
+  def shinglesBuilder(children: Seq[Expression]): Expression =
+    WordShingles(children.head,
+      if (children.length > 1) intLit(children(1)) else 3)
+
+  /** minhash_bands(shingles[, k=32, bands=8]) */
+  def minhashBuilder(children: Seq[Expression]): Expression =
+    MinhashBands(children.head,
+      if (children.length > 1) intLit(children(1)) else 32,
+      if (children.length > 2) intLit(children(2)) else 8)
+
   /** Install the same functions on an already-built session (temp
     * functions) — for hosts that construct the SparkSession themselves.
     */
@@ -37,5 +63,11 @@ object GraftExtensions {
       children => CanonicalizeUrl(children.head))
     ColumnBridge.registerTempFunction(spark, "url_hash64",
       children => UrlHash64(children.head))
+    ColumnBridge.registerTempFunction(spark, "word_shingles",
+      shinglesBuilder)
+    ColumnBridge.registerTempFunction(spark, "minhash_bands",
+      minhashBuilder)
+    ColumnBridge.registerTempFunction(spark, "simhash64",
+      children => SimHash64(children.head))
   }
 }

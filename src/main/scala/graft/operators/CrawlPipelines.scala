@@ -27,10 +27,14 @@ object CrawlPipelines {
     scheduler = PoliteScheduler.Config(hostBudget = 16, defaultDelayMs = 1000L),
     maxWaves = 32)
 
+  // keyed by session UUID: a cached Result holds DataFrames bound to the
+  // session's SparkContext — reusing them on a NEW session (Bench stops
+  // and recreates sessions per scaling leg) would misbehave
   private val cache = TrieMap[String, CrawlLoop.Result]()
 
   def result(s: SparkSession): CrawlLoop.Result =
-    cache.getOrElseUpdate("default", {
+    cache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}", {
       val dir = java.nio.file.Files.createTempDirectory("graft-crawl")
       CrawlLoop.run(s, SyntheticWeb.pages(s, webCfg),
         SyntheticWeb.seeds(s, webCfg), SyntheticWeb.robots(s, webCfg),

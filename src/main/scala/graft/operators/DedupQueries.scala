@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Deduplication operators for a webtext training-data pipeline over the
   * `documents` table: exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -23,17 +24,17 @@ object DedupQueries {
   import CoreQueries.t
 
   /** Word 3-gram shingle set (lowercased) as an array column; empty for
-    * docs shorter than n words (Spark `sequence` would otherwise count
-    * DOWN for a negative stop and blow up `slice`).
+    * docs shorter than n words. Backed by the codegen
+    * [[graft.functions.WordShingles]] kernel — the equivalent
+    * `split`/`transform`/`array_distinct` HOF pipeline is interpreted
+    * per-element and measured ~30× slower (see TextExpressions scaladoc);
+    * semantics (trim-spaces → lower → split \s+ → n-gram join →
+    * first-occurrence distinct) are identical and mirrored in the q21
+    * DuckDB oracle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    when(size(words) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    ColumnBridge.column(graft.functions.WordShingles(
+      ColumnBridge.expression(text), n))
 
   /** Exact dedup (hash-groupBy): duplicate groups keyed by full content,
     * deterministic representative = min doc_id. At scale the groupBy key
@@ -48,22 +49,45 @@ object DedupQueries {
       .select(col("keep_doc"), col("n_copies"))
       .orderBy("keep_doc")
 
-  /** N-gram Jaccard near-dup pairs via shingle inverted index:
-    * explode shingles → self-join on shingle (only docs SHARING a shingle
-    * ever meet) → per-pair intersection count → Jaccard from per-doc set
-    * sizes. Threshold low enough to yield rows on the synthetic corpus;
-    * jaccard reported as integer percent for exact oracle compare.
+  /** Document-frequency cap for shingle blocking: a shingle present in
+    * more than `DfCap` documents is boilerplate (template chrome, stop
+    * phrases) and is dropped from the similarity universe BEFORE any pair
+    * is generated. Without it a single hot shingle in p docs yields p²
+    * join rows — the classic postings blowup that killed q21 at sf0.1
+    * (22.9 s) and would be quadratic death at 10^10 docs. With it, the
+    * pair count is bounded by Σ_shingle min(df, cap)²/2.
+    */
+  val DfCap = 64
+
+  /** N-gram Jaccard near-dup pairs via a df-capped shingle inverted index:
+    * explode shingles → group by shingle into a sorted posting list
+    * (df-cap enforced AT the group — no separate df job) → in-group pair
+    * generation with higher-order functions (no self-join: one shuffle to
+    * group, one to count pairs) → Jaccard from per-doc KEPT-shingle
+    * counts. Jaccard is over the capped shingle universe (sizes count
+    * only surviving shingles) so the measure is self-consistent; the
+    * DuckDB oracle mirrors the cap. jaccard reported as integer percent
+    * for exact oracle compare.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val a = inv.toDF("doc_a", "shingle")
-    val b = inv.toDF("doc_b", "shingle")
-    val inter = a.join(b, "shingle")
+    // posting list per shingle, capped: groups larger than DfCap vanish
+    val groups = inv.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= DfCap)
+    // per-doc size over the KEPT universe
+    val sizes = groups.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // all (i < j) pairs inside each posting list: two codegen'd explodes
+    // + a filter, never a join (and never an interpreted lambda — nested
+    // transform/slice HOFs evaluate per-element outside codegen)
+    val pairs = groups.filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val inter = pairs.groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes.toDF("doc_a", "sz_a")), "doc_a")
@@ -79,13 +103,17 @@ object DedupQueries {
   val MinhashK = 32 // signature length
   val LshBands = 8 // bands of 4 rows each
 
-  /** MinHash signature: for each of k salted hash functions, the min
-    * xxhash64(salt, shingle) over the doc's shingle set — all built-ins,
-    * no UDF, one pass.
+  /** Per-band LSH hashes of the k-slot minhash signature, computed in ONE
+    * pass by the codegen [[graft.functions.MinhashBands]] kernel. The
+    * equivalent `transform(sequence..., array_min(transform(...)))` HOF
+    * pipeline evaluated interpreted AND was re-inlined by projection
+    * collapse into every band lambda — 88 s for 5 000 docs vs sub-second
+    * here; at 10^10 docs the HOF version is simply not runnable.
     */
-  def minhashSignature(sh: Column, k: Int = MinhashK): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, sg => xxhash64(j, sg))))
+  def minhashBandHashes(sh: Column, k: Int = MinhashK,
+      bands: Int = LshBands): Column =
+    ColumnBridge.column(graft.functions.MinhashBands(
+      ColumnBridge.expression(sh), k, bands))
 
   /** MinHash+LSH near-dup candidates, verified: shingle → signature →
     * banded buckets (band hash of r consecutive signature slots) →
@@ -94,25 +122,25 @@ object DedupQueries {
     * O(docs × bands) + O(candidate pairs), not O(docs²).
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val r = MinhashK / LshBands
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = docs.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh")).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
-        .as(Seq("band", "band_hash")))
-    val left = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("band"), col("band_hash"))
-    val right = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("band"), col("band_hash"))
-    val cands = left.join(right, Seq("band", "band_hash"))
+    // The banded join carries DOC IDS ONLY: the shingle arrays would
+    // otherwise ride through all `LshBands` copies of every row AND the
+    // dropDuplicates shuffle — ×(bands · set size) shuffle bytes. Ids are
+    // banded, deduped, then joined back to `docs` once per side for the
+    // exact verify (the candidate set is ≪ the corpus, so the join-back
+    // moves only the candidates' shingles).
+    val banded = docs.select(col("doc_id"),
+      posexplode(minhashBandHashes(col("sh"))).as(Seq("band", "band_hash")))
+    val cands = banded.toDF("doc_a", "band", "band_hash")
+      .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(docs.toDF("doc_a", "sh_a"), "doc_a")
+      .join(docs.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard_pct",
         floor(col("inter") * 100 /
@@ -123,12 +151,9 @@ object DedupQueries {
   }
 
   /** 64-bit SimHash: per bit, vote by the sign sum over token hashes.
-    * Implemented as ONE deterministic single-pass Scala UDF — the built-in
-    * alternative needs 64 `aggregate` passes over the token array (shift
-    * amounts must be literals), which is strictly worse than the udf even
-    * without codegen. At 100 TB this is the spot for a custom codegen
-    * `Expression`; the hash itself (xxHash64 per token, seed 42) matches
-    * Spark's `xxhash64` bit-for-bit so signatures are engine-portable.
+    * Retained as the reference implementation the codegen
+    * [[graft.functions.SimHash64]] expression is spec-pinned against
+    * (identical outputs, TextExpressionsSpec); queries use the expression.
     */
   val simhashUdf = udf { (text: String) =>
     val votes = new Array[Int](64)
@@ -158,7 +183,10 @@ object DedupQueries {
     out
   }
 
-  def simhashCol(text: Column): Column = simhashUdf(text)
+  /** Codegen-expression SimHash (identical output to [[simhashUdf]]). */
+  def simhashCol(text: Column): Column =
+    ColumnBridge.column(graft.functions.SimHash64(
+      ColumnBridge.expression(text)))
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, blocked by the
     * 4-chunk pigeonhole: two hashes within hamming 3 must agree on at

@@ -90,16 +90,45 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  /** Embedding near-dup pairs, blocked by label (the natural cluster key):
-    * within-label pairs with cosine ≥ threshold. The label equi-join is
-    * the blocking step standing in for an IVF coarse quantizer at scale.
+  /** Sub-blocks per label for [[embedNearDup]]: a hot label with n vectors
+    * is n²-quadratic no matter what (the semantics are exact within-label
+    * all-pairs), but WITHOUT sub-blocking all n² comparisons land in ONE
+    * task — the single-straggler/OOM failure mode at 10^8-vector labels.
+    * The triangle block-pair expansion splits each label into `NearDupBlocks`
+    * contiguous vec_id ranges and emits one join bucket per block pair
+    * (i ≤ j), so the same n² work spreads over B(B+1)/2 tasks at a
+    * replication cost of (B+1)/2 per row. Results are IDENTICAL to the
+    * flat label join (each pair lands in exactly one bucket; blocks are
+    * monotone in vec_id so cross-block pairs always satisfy vec_a < vec_b).
+    */
+  val NearDupBlocks = 4
+
+  /** Embedding near-dup pairs, blocked by label (the natural cluster key,
+    * standing in for an IVF coarse quantizer at scale), with triangle
+    * block-pair expansion inside each label to bound per-task work on hot
+    * labels: within-label pairs with cosine ≥ threshold.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val bN = NearDupBlocks
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-    val a = emb.toDF("vec_a", "label", "emb_a")
-    val b = emb.toDF("vec_b", "label", "emb_b")
-    a.join(b, "label")
+    // monotone block id: contiguous vec_id ranges (global max via a tiny
+    // broadcast agg — the highWaterStop pattern, one plan, no collect)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    val blocked = emb.crossJoin(broadcast(mx))
+      .withColumn("blk",
+        least(floor(col("vec_id") * bN / (col("mx") + 1)), lit(bN - 1))
+          .cast("int"))
+      .drop("mx")
+    val a = blocked
+      .withColumn("bj", explode(sequence(col("blk"), lit(bN - 1))))
+      .select(col("label"), col("blk").as("bi"), col("bj"),
+        col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = blocked
+      .withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("label"), col("bi"), col("blk").as("bj"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label", "bi", "bj"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         floor(cosine(col("emb_a"), col("emb_b")) * 10000).cast("long")

@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
-  /** Streaming URL-seen: watermarked dropDuplicates on the canonical url
-    * hash — Spark's stateful dedup operator keyed exactly like the batch
-    * Bloom/anti-join layer. Late arrivals beyond the watermark age out of
-    * the state store instead of growing it forever.
+  /** Streaming URL-seen: watermarked dedup on the canonical url hash
+    * ALONE — `dropDuplicatesWithinWatermark` keys state by url_hash (the
+    * same URL arriving later with a different timestamp is still a dup,
+    * which plain `dropDuplicates("url_hash", "event_ts")` would pass
+    * through) while expiring entries once the watermark clears their
+    * first-seen time, so state stays bounded like the batch Bloom layer.
     */
   def streamingUrlDedup(urls: DataFrame, watermark: String = "10 minutes"): DataFrame =
     urls
       .withWatermark("event_ts", watermark)
-      .dropDuplicates("url_hash", "event_ts")
+      .dropDuplicatesWithinWatermark("url_hash")
 
   /** Watermarked sliding-window fetch metrics: events → per-window,
     * per-status counts. Append-mode compatible (final counts emitted once

@@ -26,8 +26,8 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   final case class UrlEvent(url_hash: Long, event_ts: Timestamp)
   final case class FetchEvent(host: String, status: Int, event_ts: Timestamp)
 
-  test("streaming URL dedup: exact repeats within a batch collapse; " +
-    "state is keyed (hash, ts)") {
+  test("streaming URL dedup: state keyed by url_hash ALONE — the same URL " +
+    "at a different timestamp is still a dup within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UrlEvent]
@@ -36,10 +36,13 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .outputMode("append").start()
     try {
       input.addData(
-        UrlEvent(1L, ts(0)), UrlEvent(1L, ts(0)), // dup
+        UrlEvent(1L, ts(0)), UrlEvent(1L, ts(0)), // exact dup
         UrlEvent(2L, ts(1)))
       q.processAllAvailable()
-      input.addData(UrlEvent(1L, ts(0))) // dup across batches, in watermark
+      input.addData(
+        UrlEvent(1L, ts(0)), // dup across batches, in watermark
+        UrlEvent(1L, ts(3)), // same URL, NEW timestamp — still a dup
+        UrlEvent(2L, ts(4))) // same URL, new ts — still a dup
       q.processAllAvailable()
       val rows = spark.table("dedup_out").collect()
       assert(rows.length == 2)
