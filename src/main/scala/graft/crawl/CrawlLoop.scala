@@ -17,27 +17,50 @@ import graft.url.UrlCanon
   *     records ∪= extract(fetched); links = outlinks(fetched)
   *     retries = failed rows, attempts+1, dropped at max (→ fetch_log)
   *     frontier = (frontier ∖ wave) ∪ retries ∪ (links ∖ seen)
-  *     snapshot(frontier, seen, records Δ, fetch_log Δ) — resumable
+  *     snapshot(frontier, records Δ, fetch_log Δ, seen Δ)  — resumable
   *
   * Scale notes (the 10^10-URL design point):
   *   - every wave's state round-trips through the snapshot store — this is
   *     simultaneously the resumability contract (north_rule) AND the
   *     lineage truncation that keeps plan depth constant across hundreds
   *     of waves (no ever-growing DAG, no driver OOM);
+  *   - EXACTLY FOUR Spark jobs per wave — the four snapshot writes
+  *     (fetch_log, records, frontier, seen delta). All count metrics
+  *     (scheduled / records / new_links and the loop's own frontier-count
+  *     termination check) come from the written Parquet FOOTERS
+  *     (driver-side metadata, no job — [[SnapshotStore.rowCount]]);
+  *     fetched_ok / retries ride the fetch_log write as accumulators. The
+  *     r1 loop spent ~10 jobs/wave, half of them metric `count()`s;
+  *   - the SEEN table is append-only deltas (`seen_w*`), never a rewrite
+  *     of the full set: at 10^10 URLs rewriting seen every wave is
+  *     O(crawl²) I/O. Readers union the deltas, which are distinct by
+  *     construction (every delta row passed that wave's unseen filter), so
+  *     the anti-join runs with NO defensive distinct() shuffle;
+  *   - `cfg.pagesTable` points the fetch join at a
+  *     [[graft.sources.BucketedPages]] table bucketed+sorted by
+  *     `url_hash`: the pages side is read pre-partitioned (NO Exchange, NO
+  *     Sort on that side — BucketedPagesSpec pins the plan), so the html
+  *     payload NEVER shuffles; only the wave's frontier rows (bytes, not
+  *     kilobytes each) move. Without it the fallback hashes + caches the
+  *     raw pages frame;
   *   - frontier⋈pages is an equi-join on a well-mixed 64-bit key: AQE
   *     handles hot-host skew (`skewJoin`), and the politeness budget
   *     itself bounds any host to `hostBudget` rows per wave;
-  *   - the seen check is Bloom-prefilter → exact left-anti (UrlSeen):
-  *     the definite-unseen majority of candidate links never enters the
-  *     anti-join shuffle;
-  *   - records/fetch_log are written as per-wave immutable deltas (append
-  *     pattern) — nothing is rewritten; reading the result is a union of
-  *     deltas listed by the manifests.
+  *   - the seen check is Bloom-prefilter → exact left-anti (UrlSeen): the
+  *     definite-unseen majority of candidate links never enters the
+  *     anti-join shuffle. Bloom segments are maintained INCREMENTALLY on
+  *     the driver — each wave's new hashes ride the seen-delta write in an
+  *     accumulator, so NO bloom build job ever runs (`bloomImpl =
+  *     "perwave"` keeps the distributed rebuild for when per-wave novelty
+  *     exceeds driver bandwidth).
   *
   * Robots gating (absent in the reference, required by north_rule) is an
   * ADMISSION filter: a disallowed URL never enters the frontier (otherwise
   * it would sit there unscheduled forever); crawl delays come from the
-  * robots table at schedule time.
+  * robots table at schedule time. `robotsImpl = "join"` swaps the
+  * driver-collected map for broadcast joins against the robots Dataset —
+  * the 10^8-host path where the map would OOM the driver (CrawlLoopSpec
+  * proves the two produce identical crawls).
   */
 object CrawlLoop extends Serializable {
 
@@ -47,14 +70,25 @@ object CrawlLoop extends Serializable {
       maxAttempts: Int = 3, // R2: drop after 3 tries
       maxWaves: Int = 64,
       useBloom: Boolean = true,
-      // below this seen-set size the bloom build costs more than the
+      // below this seen-set size the bloom probe costs more than the
       // anti-join it accelerates — skip it (the exact join is always the
       // authority, so this is purely a cost knob)
       bloomMinSeen: Long = 4096L,
       // "agg" = typed Aggregator (map-side bounded top-k; default),
       // "sql" = window-function twin (Tungsten-only, for huge waves).
       // SchedulerSpec proves the two produce identical waves.
-      schedulerImpl: String = "agg"
+      schedulerImpl: String = "agg",
+      // "map"  = robots collected to a driver map + broadcast (fast path
+      //          for thousands of hosts);
+      // "join" = robots as a broadcast-joined table (the 10^8-host path —
+      //          robots never transits the driver).
+      robotsImpl: String = "map",
+      // "incremental" = driver-maintained bloom segments, zero bloom jobs;
+      // "perwave"     = distributed rebuild from the seen union each wave.
+      bloomImpl: String = "incremental",
+      // name of a BucketedPages catalog table (bucketed+sorted by
+      // url_hash); when set, the fetch join reads it in place
+      pagesTable: Option[String] = None
   )
 
   final case class FetchLogRow(url_hash: Long, host: String, wave: Int,
@@ -92,69 +126,144 @@ object CrawlLoop extends Serializable {
   }
 
   /** Run the crawl from seeds to empty frontier (or maxWaves). `pages` must
-    * be the input_hint-shaped table; it is hashed once and cached.
+    * be the input_hint-shaped table (ignored when `cfg.pagesTable` points
+    * at a bucketed catalog table).
     */
   def run(spark: SparkSession, pages: DataFrame, seeds: Dataset[Seed],
       robots: Dataset[Robots], store: SnapshotStore,
       cfg: Config = Config()): Result = {
     import spark.implicits._
 
+    val useRobotsJoin = cfg.robotsImpl == "join"
     val robotsMap: Map[String, (Seq[String], Long)] =
-      robots.collect().map(r => r.host -> ((r.disallow_prefixes, r.crawl_delay_ms))).toMap
+      if (useRobotsJoin) Map.empty
+      else robots.collect()
+        .map(r => r.host -> ((r.disallow_prefixes, r.crawl_delay_ms))).toMap
     val bcRobots = spark.sparkContext.broadcast(robotsMap)
-    def allowed(e: FrontierEntry): Boolean =
+    def allowedRow(e: FrontierEntry): Boolean =
       bcRobots.value.get(e.host) match {
         case Some((prefixes, _)) =>
           val p = pathOf(e.url); !prefixes.exists(p.startsWith)
         case None => true
       }
+    // the "join"-path twin of allowedRow: broadcast-join admission filter
+    // over FrontierEntry-shaped frames; robots never transits the driver
+    def allowedDf(df: DataFrame): DataFrame = {
+      val noScheme = regexp_replace(col("url"), "^[a-z]+://", "")
+      val p0 = regexp_extract(noScheme, "(/.*)$", 1)
+      df.join(broadcast(robots.toDF()
+          .select(col("host"), col("disallow_prefixes"))), Seq("host"), "left")
+        .withColumn("__path", when(p0 === "", "/").otherwise(p0))
+        .filter(col("disallow_prefixes").isNull ||
+          !exists(col("disallow_prefixes"),
+            pre => col("__path").startsWith(pre)))
+        .drop("disallow_prefixes", "__path")
+        .select("url", "urlHash", "host", "kind", "seed", "depth", "pageIdx",
+          "posInPage", "attempts")
+    }
+    def admit(df: Dataset[FrontierEntry]): Dataset[FrontierEntry] =
+      if (useRobotsJoin) allowedDf(df.toDF()).as[FrontierEntry]
+      else df.filter(allowedRow _)
 
-    // native codegen expression (graft.functions.UrlHash64), not a UDF —
-    // this runs once per page per crawl, the widest map in the engine
-    val pagesKeyed = pages
-      .select(graft.url.UrlCols.urlHash64(col("url")).as("url_hash"),
-        col("html"))
-      .cache()
-
-    // resume (north_rule): pick up from the last committed snapshot
-    val (startWave, frontier0, seen0) = store.head match {
-      case Some(snap) =>
-        (snap.wave + 1,
-          store.table(snap, "frontier").get.as[FrontierEntry],
-          store.table(snap, "seen").get)
-      case None =>
-        val f = seeds.map(s =>
-          entryOf(s.url, s.site, s.seed_id, 0, 0, 0)).filter(allowed _)
-        (0, f, f.select(col("urlHash").as("url_hash")).distinct().toDF())
+    // pages side of the fetch join: bucketed table (NO shuffle, NO cache —
+    // the 100 TB path reads its co-partitioned buckets in place) or a
+    // hashed+cached projection of the raw frame. The hash is the native
+    // codegen expression (graft.functions.UrlHash64), not a UDF — this
+    // runs once per page, the widest map in the engine.
+    val pagesKeyed = cfg.pagesTable match {
+      case Some(t) => spark.table(t).select(col("url_hash"), col("html"))
+      case None => pages
+        .select(graft.url.UrlCols.urlHash64(col("url")).as("url_hash"),
+          col("html"))
+        .cache()
     }
 
-    var frontier = frontier0
-    var seen = seen0
-    var wave = startWave
-    var frontierCount = frontier.count()
-    var seenCount = seen.count()
+    // resume (north_rule): pick up from the last committed snapshot
+    val (startWave, frontier0) = store.head match {
+      case Some(snap) =>
+        (snap.wave + 1, store.table(snap, "frontier").get.as[FrontierEntry])
+      case None =>
+        (0, admit(seeds.map(s => entryOf(s.url, s.site, s.seed_id, 0, 0, 0))))
+    }
 
+    def seenUnion(): DataFrame = readDeltas(spark, store, "seen_w")
+
+    var frontier = frontier0
+    var seen: DataFrame =
+      if (startWave == 0)
+        frontier0.select(col("urlHash").as("url_hash")).distinct().toDF()
+      else seenUnion()
+
+    // incremental driver-side Bloom segments: seeded ONCE per crawl from
+    // the starting seen set (a single collect — at resume scale, switch
+    // bloomImpl to "perwave" if this exceeds driver bandwidth)
+    val incremental = cfg.useBloom && cfg.bloomImpl == "incremental"
+    val segMap = scala.collection.mutable.Map[Int, Array[Long]]()
+    def addToSeg(h: Long): Unit = {
+      val bucket = java.lang.Math.floorMod(h, cfg.seenCfg.nBuckets.toLong).toInt
+      val words = segMap.getOrElseUpdate(bucket,
+        new Array[Long](UrlSeen.Bloom.nWords(cfg.seenCfg.bitsPerSegment)))
+      UrlSeen.Bloom.add(words, h, cfg.seenCfg.k)
+    }
+    var seenCount =
+      if (incremental) {
+        val init = seen.select(col("url_hash")).as[Long].collect()
+        init.foreach(addToSeg)
+        init.length.toLong
+      } else seen.count()
+    var frontierCount = frontier.count()
+
+    var wave = startWave
     while (frontierCount > 0 && wave < cfg.maxWaves) {
       val waveStart = wave.toLong * 1000000L
       val sched: Dataset[Scheduled] =
-        if (cfg.schedulerImpl == "sql")
+        if (useRobotsJoin)
+          PoliteScheduler.scheduleJoinSql(frontier, robots, waveStart,
+            cfg.scheduler)
+        else if (cfg.schedulerImpl == "sql")
           PoliteScheduler.scheduleSql(frontier, robots, waveStart, cfg.scheduler)
         else
           PoliteScheduler.scheduleWithMap(frontier, robotsMap, waveStart,
             cfg.scheduler)
 
-      // fetch = equi-join against the pages table (left: missing ⇒ 404)
-      val fetched = sched
-        .joinWith(pagesKeyed, $"entry.urlHash" === pagesKeyed("url_hash"),
-          "left_outer")
-        .map { case (s, page) =>
-          val html = Option(page)
-            .map(p => new String(p.getAs[Array[Byte]]("html"), "UTF-8"))
-          val status = PageParsers.fetchStatus(html, s.entry.attempts)
-          (s, status, if (status == 200) html.get else "")
+      // fetch = equi-join against the pages table (left: missing ⇒ 404).
+      // TOP-LEVEL url_hash join keys on both sides, so a bucketed pages
+      // scan satisfies the join distribution in place (no html Exchange).
+      val fetched = sched.toDF()
+        .withColumn("url_hash", col("entry.urlHash"))
+        .join(pagesKeyed, Seq("url_hash"), "left")
+        .select(col("entry").as("_1"), col("slot").as("_2"),
+          col("notBefore").as("_3"), col("html").as("_4"))
+        .as[(FrontierEntry, Int, Long, Array[Byte])]
+        .map { case (e, slot, notBefore, htmlBytes) =>
+          val html = Option(htmlBytes).map(new String(_, "UTF-8"))
+          val status = PageParsers.fetchStatus(html, e.attempts)
+          (Scheduled(e, slot, notBefore), status,
+            if (status == 200) html.get else "")
         }
         .toDF("sched", "status", "html")
         .cache()
+
+      // fetched_ok / retries ride the fetch_log write (job 1, the action
+      // that also materializes the `fetched` cache) as accumulators —
+      // no count() jobs. Diagnostic-only: a task retry could inflate them.
+      val okAcc = spark.sparkContext.longAccumulator(s"fetched_ok_w$wave")
+      val retryAcc = spark.sparkContext.longAccumulator(s"retries_w$wave")
+      val maxAttempts = cfg.maxAttempts
+      val fetchLogDelta = fetched
+        .select(col("sched").as("_1"), col("status").as("_2"))
+        .as[(Scheduled, Int)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          it.map { case (s, status) =>
+            if (status == 200) okAcc.add(1L)
+            else if (status == 503 && s.entry.attempts + 1 < maxAttempts)
+              retryAcc.add(1L)
+            FetchLogRow(s.entry.urlHash, s.entry.host, 0, s.entry.attempts,
+              status, s.slot, s.notBefore, pid)
+          }
+        }.toDF()
+        .withColumn("wave", lit(wave))
 
       val parsed = fetched.filter(col("status") === 200)
         .select(col("sched.entry").as("_1"), col("html").as("_2"))
@@ -166,27 +275,30 @@ object CrawlLoop extends Serializable {
 
       // out-links: canonicalize, in-batch dedup keeping min crawl order,
       // robots admission filter, then seen-filter (bloom + exact anti)
-      val links = parsed
-        .flatMap(_.links.map(l =>
-          entryOf(l.url, l.kind, l.seed, l.depth, l.pageIdx, l.posInPage)))
-        .filter(allowed _)
-        .toDF()
-      val dedupedLinks = links
+      val links = admit(parsed.flatMap(_.links.map(l =>
+        entryOf(l.url, l.kind, l.seed, l.depth, l.pageIdx, l.posInPage))))
+      val dedupedLinks = links.toDF()
         .withColumn("rn", row_number().over(
           Window.partitionBy("urlHash")
             .orderBy("seed", "depth", "pageIdx", "posInPage")))
         .filter(col("rn") === 1).drop("rn")
       val candidates = dedupedLinks.withColumnRenamed("urlHash", "url_hash")
-      val segments =
-        if (cfg.useBloom && seenCount >= cfg.bloomMinSeen)
-          Some(UrlSeen.buildSegments(seen, cfg.seenCfg))
-        else None
+      val bloomActive = cfg.useBloom && seenCount >= cfg.bloomMinSeen
+      val segMapOpt =
+        if (!bloomActive) None
+        else if (incremental) Some(segMap.toMap)
+        else Some(UrlSeen.collectSegments(
+          UrlSeen.buildSegments(seen, cfg.seenCfg)))
+      // seen deltas are distinct by construction → seenDistinct = true
+      // skips the defensive distinct() shuffle of the whole seen set
       val newEntries = UrlSeen
-        .filterUnseen(candidates, seen, segments, cfg.seenCfg)
+        .filterUnseenWithMap(candidates, seen, segMapOpt, cfg.seenCfg,
+          seenDistinct = true)
         .withColumnRenamed("url_hash", "urlHash")
         .select("url", "urlHash", "host", "kind", "seed", "depth", "pageIdx",
           "posInPage", "attempts")
         .as[FrontierEntry]
+        .cache() // job 3 (frontier write) populates; job 4 (seen Δ) reuses
 
       // retries: transient failures re-enter with attempts+1 (R2);
       // exhausted rows drop (their fetch_log row keeps the final attempt)
@@ -196,60 +308,72 @@ object CrawlLoop extends Serializable {
         .filter((e: FrontierEntry) => e.attempts + 1 < cfg.maxAttempts)
         .map(e => e.copy(attempts = e.attempts + 1))
 
-      val fetchLogDelta = fetched
-        .select(col("sched").as("_1"), col("status").as("_2"))
-        .as[(Scheduled, Int)]
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          it.map { case (s, status) =>
-            FetchLogRow(s.entry.urlHash, s.entry.host, 0, s.entry.attempts,
-              status, s.slot, s.notBefore, pid)
-          }
-        }.toDF()
-        .withColumn("wave", lit(wave))
-
-      // frontier' = (frontier ∖ scheduled) ∪ retries ∪ new links
-      val schedHashes = sched.select(col("entry.urlHash").as("sched_hash"))
+      // frontier' = (frontier ∖ scheduled) ∪ retries ∪ new links; the
+      // scheduled hashes come from the CACHED fetched frame, so the
+      // schedule is never computed twice
+      val schedHashes = fetched
+        .select(col("sched.entry.urlHash").as("sched_hash"))
       val remaining = frontier
         .join(schedHashes, frontier("urlHash") === schedHashes("sched_hash"),
           "left_anti").as[FrontierEntry]
-      // seen stays distinct by construction: newEntries passed the unseen
-      // filter and are in-wave deduped, so a plain append suffices — no
-      // per-wave distinct() shuffle over the whole seen set.
       val nextFrontier = remaining.union(retries).union(newEntries)
-      val nextSeen = seen
-        .union(newEntries.select(col("urlHash").as("url_hash")).toDF())
 
-      val metrics = Map(
-        "scheduled" -> sched.count(),
-        "fetched_ok" -> parsed.count(),
-        "records" -> recordsDelta.count(),
-        "new_links" -> newEntries.count(),
-        "retries" -> retries.count()
-      )
+      // seen delta: this wave's new hashes (+ the seed hashes once, at
+      // wave 0). On the incremental path the hashes also ride this write
+      // into a collection accumulator feeding the driver bloom segments.
+      val newHashes = newEntries.select(col("urlHash").as("url_hash"))
+      val seenDeltaBase =
+        if (wave == 0) seen.select("url_hash").unionByName(newHashes)
+        else newHashes
+      val hashAcc = new org.apache.spark.util.CollectionAccumulator[Long]()
+      val seenDelta =
+        if (!incremental) seenDeltaBase
+        else {
+          spark.sparkContext.register(hashAcc, s"seen_hashes_w$wave")
+          seenDeltaBase.as[Long]
+            .mapPartitions(it => it.map { h => hashAcc.add(h); h })
+            .toDF("url_hash")
+        }
 
-      val snap = store.commit(wave, Map(
-        "frontier" -> nextFrontier.toDF(),
-        "seen" -> nextSeen,
-        s"records_w$wave" -> recordsDelta,
-        s"fetch_log_w$wave" -> fetchLogDelta
-      ), metrics)
+      val seedCount = if (wave == 0) seenCount else 0L
+      var metrics = Map.empty[String, Long]
+      val snap = store.commitWith(wave, Seq(
+        s"fetch_log_w$wave" -> fetchLogDelta, // job 1: caches fetched + accs
+        s"records_w$wave" -> recordsDelta, // job 2: caches parsed
+        "frontier" -> nextFrontier.toDF(), // job 3: caches newEntries
+        s"seen_w$wave" -> seenDelta // job 4: bloom hash accumulator
+      ), written => {
+        // footer-only metadata counts — zero extra Spark jobs
+        metrics = Map(
+          "scheduled" -> store.rowCount(written(s"fetch_log_w$wave")),
+          "fetched_ok" -> okAcc.value.toLong,
+          "records" -> store.rowCount(written(s"records_w$wave")),
+          "new_links" -> (store.rowCount(written(s"seen_w$wave")) - seedCount),
+          "retries" -> retryAcc.value.toLong
+        )
+        metrics
+      })
+
+      if (incremental) {
+        val it = hashAcc.value.iterator()
+        while (it.hasNext) addToSeg(it.next())
+      }
 
       // reload state from the committed snapshot: truncates lineage so
       // wave N+1's plan is independent of wave N's
       frontier = store.table(snap, "frontier").get.as[FrontierEntry]
-      seen = store.table(snap, "seen").get
-      frontierCount = metrics("new_links") + metrics("retries") +
-        (frontierCount - metrics("scheduled"))
+      seen = seenUnion()
+      frontierCount = store.tableRowCount(snap, "frontier")
       seenCount += metrics("new_links")
       fetched.unpersist()
       parsed.unpersist()
+      newEntries.unpersist()
       wave += 1
     }
 
-    pagesKeyed.unpersist()
+    if (cfg.pagesTable.isEmpty) pagesKeyed.unpersist()
     Result(readDeltas(spark, store, "records_w"),
-      readDeltas(spark, store, "fetch_log_w"), seen, wave)
+      readDeltas(spark, store, "fetch_log_w"), seenUnion(), wave)
   }
 
   /** Union all per-wave delta tables recorded across snapshots. */

@@ -132,6 +132,53 @@ object PoliteScheduler {
       }
   }
 
+  /** Robots-as-a-TABLE twin of [[scheduleSql]]: robots gating and crawl
+    * delays come from broadcast joins against the `robots(host, ...)`
+    * Dataset instead of a driver-collected map. This is the 10^8-host
+    * path (north_rule J2/R1): the robots table never transits the driver,
+    * so its size is bounded by executor memory (broadcast) or — drop the
+    * `broadcast` hint — by nothing at all (shuffle join). Produces the
+    * IDENTICAL wave to [[scheduleWithMap]]/[[scheduleSql]] (proven in
+    * SchedulerSpec and CrawlLoopSpec's robots-join run).
+    */
+  def scheduleJoinSql(frontier: Dataset[FrontierEntry], robots: Dataset[Robots],
+      waveStartMs: Long, cfg: Config = Config()): Dataset[Scheduled] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val path = {
+      val noScheme = regexp_replace(col("url"), "^[a-z]+://", "")
+      val p = regexp_extract(noScheme, "(/.*)$", 1)
+      when(p === "", "/").otherwise(p)
+    }
+    val rob = robots.toDF()
+      .select(col("host"), col("disallow_prefixes"), col("crawl_delay_ms"))
+    val allowed = frontier.toDF()
+      .join(broadcast(rob), Seq("host"), "left")
+      .withColumn("__path", path)
+      .filter(col("disallow_prefixes").isNull ||
+        !exists(col("disallow_prefixes"),
+          pre => col("__path").startsWith(pre)))
+
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("seed"), col("depth"), col("pageIdx"), col("posInPage"),
+        col("urlHash"))
+    allowed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cfg.hostBudget)
+      .withColumn("slot", (col("rn") - 1).cast("int"))
+      .withColumn("notBefore",
+        lit(waveStartMs) + col("slot").cast("long") *
+          coalesce(col("crawl_delay_ms"), lit(cfg.defaultDelayMs)))
+      .select(
+        struct(col("url"), col("urlHash"), col("host"), col("kind"),
+          col("seed"), col("depth"), col("pageIdx"), col("posInPage"),
+          col("attempts")).as("entry"),
+        col("slot"), col("notBefore"))
+      .as[Scheduled]
+  }
+
   /** Window-function twin of [[schedule]]: row_number over
     * (partitionBy host, orderBy crawl order) ≤ budget, slot/notBefore from
     * the row number. Produces the IDENTICAL wave (SchedulerSpec proves it)

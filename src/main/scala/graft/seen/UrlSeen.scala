@@ -111,12 +111,26 @@ object UrlSeen {
     * candidate row). A bucket absent from the map was never built ⇒ the
     * candidate is definitely unseen.
     */
-  def mightBeSeen(candidates: DataFrame, segments: DataFrame,
-      cfg: Config = Config()): DataFrame = {
-    val spark = candidates.sparkSession
-    val segMap: Map[Int, Array[Long]] = segments.collect().map { r =>
-      r.getAs[Long]("bucket").toInt -> Bloom.fromBytes(r.getAs[Array[Byte]]("sketch"))
+  /** Collect a built segment table into the driver-side probe map. */
+  def collectSegments(segments: DataFrame): Map[Int, Array[Long]] =
+    segments.collect().map { r =>
+      r.getAs[Long]("bucket").toInt ->
+        Bloom.fromBytes(r.getAs[Array[Byte]]("sketch"))
     }.toMap
+
+  def mightBeSeen(candidates: DataFrame, segments: DataFrame,
+      cfg: Config = Config()): DataFrame =
+    mightBeSeenWithMap(candidates, collectSegments(segments), cfg)
+
+  /** Probe against an already-collected segment map (the incremental
+    * driver-maintained path — the crawl loop feeds it new hashes via an
+    * accumulator riding the seen-delta write, so NO bloom build job ever
+    * runs). A bucket absent from the map was never built ⇒ definitely
+    * unseen.
+    */
+  def mightBeSeenWithMap(candidates: DataFrame,
+      segMap: Map[Int, Array[Long]], cfg: Config = Config()): DataFrame = {
+    val spark = candidates.sparkSession
     val bc = spark.sparkContext.broadcast(segMap)
     val k = cfg.k
     val nb = cfg.nBuckets
@@ -132,22 +146,32 @@ object UrlSeen {
 
   /** Full unseen filter: bloom pre-filter (cheap, broadcast, no shuffle of
     * the definite-unseen majority) then exact left-anti (authority).
+    * `seenDistinct = true` skips the defensive `distinct()` on the seen
+    * side — the crawl loop's seen deltas are distinct by construction, and
+    * at 10^10 keys the distinct is a full extra shuffle of the seen set
+    * every wave.
     */
   def filterUnseen(candidates: DataFrame, exactSeen: DataFrame,
-      segments: Option[DataFrame], cfg: Config = Config()): DataFrame = {
-    val pre = segments match {
-      case Some(seg) =>
-        val flagged = mightBeSeen(candidates, seg, cfg)
+      segments: Option[DataFrame], cfg: Config = Config(),
+      seenDistinct: Boolean = false): DataFrame =
+    filterUnseenWithMap(candidates, exactSeen, segments.map(collectSegments),
+      cfg, seenDistinct)
+
+  def filterUnseenWithMap(candidates: DataFrame, exactSeen: DataFrame,
+      segMap: Option[Map[Int, Array[Long]]], cfg: Config = Config(),
+      seenDistinct: Boolean = false): DataFrame = {
+    val seenKeys0 = exactSeen.select("url_hash")
+    val seenKeys = if (seenDistinct) seenKeys0 else seenKeys0.distinct()
+    segMap match {
+      case Some(m) =>
+        val flagged = mightBeSeenWithMap(candidates, m, cfg)
         // definite-unseen rows bypass the anti-join entirely
         val definiteNew = flagged.filter(!col("might_seen")).drop("might_seen")
         val maybeSeen = flagged.filter(col("might_seen")).drop("might_seen")
-        val checked = maybeSeen.join(
-          exactSeen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
+        val checked = maybeSeen.join(seenKeys, Seq("url_hash"), "left_anti")
         definiteNew.unionByName(checked)
       case None =>
-        candidates.join(
-          exactSeen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
+        candidates.join(seenKeys, Seq("url_hash"), "left_anti")
     }
-    pre
   }
 }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * pages side — only the frontier (a few dozen bytes/row) moves, never
   * the html payload (KBs–MBs/row). At 100 TB this is the difference
   * between shuffling the corpus every wave and shuffling only the wave's
-  * URL list.
+  * URL list. `CrawlLoop.Config(pagesTable = Some(...))` points the crawl
+  * loop's fetch join here; `Bench.wavePipeline` measures through it.
   *
   * Mechanics: `bucketBy(n, url_hash).sortBy(url_hash)` Parquet via
   * `saveAsTable` (works on the in-memory catalog — no Hive metastore
@@ -23,19 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object BucketedPages {
 
-  /** Write pages keyed and bucketed by url_hash. */
+  /** Write pages keyed and bucketed by url_hash. With `path` the table is
+    * EXTERNAL: the files outlive the session and [[register]] can re-attach
+    * them to a fresh session's catalog (bucketing metadata lives in the
+    * catalog, not the files — only the bucket-id filename convention is
+    * on disk).
+    */
   def write(spark: SparkSession, pages: DataFrame, table: String,
-      nBuckets: Int = 32): Unit = {
-    val hashUdf = udf((u: String) => graft.crawl.CrawlLoop.hash64(
-      graft.url.UrlCanon.canonicalize(u)))
-    pages
-      .withColumn("url_hash", hashUdf(col("url")))
+      nBuckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = pages
+      // native codegen expression, not a UDF — this is a full corpus map
+      .withColumn("url_hash", graft.url.UrlCols.urlHash64(col("url")))
       .write
       .bucketBy(nBuckets, "url_hash")
       .sortBy("url_hash")
       .format("parquet")
       .mode("overwrite")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Re-register an externally-written bucketed table on a NEW session
+    * (the in-memory catalog dies with its session; the files don't).
+    * The DDL replays the bucket spec so Spark again reads the files
+    * pre-partitioned and pre-sorted.
+    */
+  def register(spark: SparkSession, table: String, path: String,
+      nBuckets: Int = 32): Unit = {
+    val schemaDdl = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl) USING parquet
+         |CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
   }
 
   /** Fetch join against the bucketed table: pages side is read in place

@@ -2,7 +2,6 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-style snapshot store: immutable Parquet data files under an
   * atomically-committed JSON manifest (snapshot id, parent id, per-table
@@ -72,7 +71,18 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     * per-wave fetch/parse counters (north_rule lineage + metrics).
     */
   def commit(wave: Int, tables: Map[String, DataFrame],
-      metrics: Map[String, Long]): Snapshot = {
+      metrics: Map[String, Long]): Snapshot =
+    commitWith(wave, tables.toSeq, _ => metrics)
+
+  /** Ordered-write commit with metrics computed AFTER the data writes but
+    * BEFORE the manifest move — so metrics can come from the written
+    * Parquet footers ([[rowCount]]) and from accumulators the write jobs
+    * populated, without any extra Spark job. `tables` is a Seq because
+    * write ORDER is part of the crawl loop's caching contract (the first
+    * write materializes the shared cached frame).
+    */
+  def commitWith(wave: Int, tables: Seq[(String, DataFrame)],
+      metricsFn: Map[String, String] => Map[String, Long]): Snapshot = {
     val parent = head.map(_.id).getOrElse(-1L)
     val id = parent + 1
     val dataDir = rootPath.resolve(f"data-$id%06d")
@@ -80,7 +90,8 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
       val p = dataDir.resolve(name).toString
       df.write.mode("overwrite").parquet(p)
       name -> p
-    }
+    }.toMap
+    val metrics = metricsFn(written)
     val json = {
       def q(s: String) = "\"" + s + "\""
       val ts = written.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
@@ -102,11 +113,52 @@ final class SnapshotStore(val root: String, spark: SparkSession) {
     snap.tables.get(name).filter(p => Files.exists(Paths.get(p)))
       .map(spark.read.parquet(_))
 
-  /** All committed snapshot ids, ascending. */
-  def snapshots: Seq[Long] =
-    Files.list(rootPath).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
-        s.stripPrefix("manifest-").stripSuffix(".json").toLong
-      }.toSeq.sorted
+  /** Row count of a written table from Parquet FOOTERS only — a pure
+    * driver-side metadata read, NO Spark job. This is how the crawl loop
+    * keeps per-wave metrics (scheduled/records/new_links and the loop's
+    * own frontier-count termination check) free: the counts ride on the
+    * four snapshot writes instead of adding count() jobs (the r1 loop
+    * spent ~10 jobs/wave, half of them metric counts).
+    */
+  def rowCount(path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0L
+    val it = fs.listStatus(dir).iterator
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += r.getRecordCount
+        finally r.close()
+      }
+    }
+    total
+  }
+
+  def tableRowCount(snap: Snapshot, name: String): Long =
+    snap.tables.get(name).map(rowCount).getOrElse(0L)
+
+  /** All COMMITTED snapshot ids, ascending — by walking the parent chain
+    * from HEAD, not by listing manifest files: a crash between the
+    * manifest ATOMIC_MOVE and the HEAD swap leaves an orphan manifest on
+    * disk, and the documented guarantee is that orphans are invisible to
+    * readers. (Ids are dense `parent+1`, so the chain is the ≤-HEAD
+    * prefix; walking manifests keeps it correct even if that changes.)
+    */
+  def snapshots: Seq[Long] = head match {
+    case None => Seq.empty
+    case Some(h) =>
+      val b = List.newBuilder[Long]
+      var id = h.id
+      while (id >= 0) {
+        b += id
+        id = readManifest(id).parent
+      }
+      b.result().reverse
+  }
 }

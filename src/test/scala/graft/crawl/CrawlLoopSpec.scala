@@ -216,6 +216,48 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng == sim.records.sortBy(_.crawl_rank))
   }
 
+  test("robots-as-a-table (broadcast join) variant produces the identical " +
+    "crawl — the 10^8-host path where robots never transits the driver") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-robots-join")
+    val store = new SnapshotStore(dir.toString, spark)
+    val res = CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs, store,
+      crawlCfg.copy(robotsImpl = "join"))
+    import spark.implicits._
+    val eng = res.records.as[PageParsers.CrawlRecord]
+      .collect().sortBy(_.crawl_rank).toVector
+    assert(eng == sim.records.sortBy(_.crawl_rank))
+    val engSeen = res.seen.collect().map(_.getLong(0)).toSet
+    assert(engSeen == sim.seen)
+  }
+
+  test("bucketed pages table (cfg.pagesTable) produces the identical crawl " +
+    "with the html payload never shuffling") {
+    graft.sources.BucketedPages.write(spark, pagesDf, "crawl_pages_bucketed",
+      nBuckets = 4, path = Some(java.nio.file.Files
+        .createTempDirectory("crawl-bucket-tbl").toString + "/pages"))
+    val dir = java.nio.file.Files.createTempDirectory("crawl-bucketed")
+    val store = new SnapshotStore(dir.toString, spark)
+    val res = CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs, store,
+      crawlCfg.copy(pagesTable = Some("crawl_pages_bucketed")))
+    import spark.implicits._
+    val eng = res.records.as[PageParsers.CrawlRecord]
+      .collect().sortBy(_.crawl_rank).toVector
+    assert(eng == sim.records.sortBy(_.crawl_rank))
+  }
+
+  test("per-wave metrics come from footers/accumulators and match the " +
+    "simulator's fetch counts") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-metrics")
+    val store = new SnapshotStore(dir.toString, spark)
+    CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs, store, crawlCfg)
+    val perWaveScheduled = store.snapshots.map(store.readManifest)
+      .map(s => s.wave -> s.metrics.getOrElse("scheduled", 0L)).toMap
+    val simPerWave = sim.fetchesPerHostWave.groupBy(_._1._2)
+      .view.mapValues(_.values.sum.toLong).toMap
+    assert(perWaveScheduled == simPerWave,
+      s"engine=$perWaveScheduled sim=$simPerWave")
+  }
+
   test("ordering invariance under repartition: records identical at " +
     "different parallelism") {
     // second full engine run in the same session but different shuffle

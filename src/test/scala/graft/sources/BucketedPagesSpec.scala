@@ -60,4 +60,52 @@ class BucketedPagesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.collect().map(_.toString).sorted.toSeq ==
       plain.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("CrawlLoop's fetch-join shape (struct entry, top-level url_hash) " +
+    "keeps the bucketed side exchange-free") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pages(spark, cfg)
+    BucketedPages.write(spark, pages, "pages_bucketed2", nBuckets = 8)
+    // the exact frame shape CrawlLoop.run builds from the scheduler output
+    val sched = pages.select(col("url")).as[String]
+      .map(u => graft.frontier.Scheduled(
+        graft.crawl.CrawlLoop.entryOf(u, "paper", 0, 0, 0, 0), 0, 0L))
+    val fetched = sched.toDF()
+      .withColumn("url_hash", col("entry.urlHash"))
+      .join(spark.table("pages_bucketed2").select(col("url_hash"), col("html")),
+        Seq("url_hash"), "left")
+      .select(col("entry"), col("html"))
+    fetched.collect()
+    val finalPlan = fetched.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("Bucketed: true"), s"not bucketed:\n$finalPlan")
+    assert("Exchange".r.findAllIn(finalPlan).length == 1,
+      s"html payload shuffled — expected 1 exchange (frontier side):\n$finalPlan")
+  }
+
+  test("register() re-attaches the written files to a fresh catalog with " +
+    "the bucket spec intact") {
+    val pages = SyntheticWeb.pages(spark, cfg)
+    val loc = java.nio.file.Files.createTempDirectory("bucket-ext").toString +
+      "/pages"
+    BucketedPages.write(spark, pages, "pages_ext", nBuckets = 8,
+      path = Some(loc))
+    // simulate a fresh session's catalog: drop and re-register from files
+    spark.sql("DROP TABLE pages_ext")
+    BucketedPages.register(spark, "pages_ext", loc, nBuckets = 8)
+
+    val hashUdf = udf((u: String) => graft.crawl.CrawlLoop.hash64(
+      graft.url.UrlCanon.canonicalize(u)))
+    val frontier = pages.select(col("url").as("f_url"))
+      .withColumn("url_hash", hashUdf(col("f_url")))
+    val joined = BucketedPages.fetchJoin(spark, frontier, "pages_ext")
+      .select("url_hash", "f_url", "url")
+    assert(joined.count() == pages.count())
+    val finalPlan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("Bucketed: true"),
+      s"re-registered table lost bucketing:\n$finalPlan")
+    assert("Exchange".r.findAllIn(finalPlan).length == 1,
+      s"expected 1 exchange after register():\n$finalPlan")
+  }
 }
