@@ -61,7 +61,11 @@ object SparkEntry {
     "q42_crawl_label_counts" -> (CrawlPipelines.labelCounts _),
     "q43_crawl_host_metrics" -> (CrawlPipelines.hostMetrics _),
     "q44_crawl_citations" -> (CrawlPipelines.citations _),
-    "q45_listing_digest" -> (CrawlPipelines.listingDigest _)
+    "q45_listing_digest" -> (CrawlPipelines.listingDigest _),
+    // conference + repo-search parser families (ICRA/ISCA/getrepository)
+    "q46_conference_records" -> (CrawlPipelines.conferenceRecords _),
+    "q47_zotero_priority" -> (CoreQueries.zoteroPriorityDedup _),
+    "q48_repo_search" -> (CrawlPipelines.repoRecords _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,8 +79,12 @@ object SparkEntry {
         |WHERE NOT (text LIKE '%shuffle%' OR text LIKE '%skew%')
         |ORDER BY doc_id""".stripMargin,
     "q03_label_prefix" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE lower(source) LIKE 'src1%' ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, source, label FROM (
+        |  SELECT doc_id, source,
+        |    source || (CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END)
+        |      || '.' || upper(lang) AS label
+        |  FROM documents) t
+        |WHERE lower(label) LIKE 'src1.%' ORDER BY doc_id""".stripMargin,
     "q04_dedup_first" ->
       """SELECT lang, source, min(doc_id) AS first_doc, count(*) AS n
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
@@ -239,6 +247,109 @@ object SparkEntry {
         |      '\d+'), ''), '9223372036854775807') AS BIGINT) AS num_key
         |  FROM documents) t
         |ORDER BY num_key, name, doc_id LIMIT 500""".stripMargin,
+    // ---- crawl-derived oracles: the DuckDB side re-aggregates the
+    // records/fetch_log tables Verify dumps to /tmp/graft_oracle_tables
+    // (the crawl itself is sbt-test-verified against the sequential
+    // simulator; these check every AGGREGATION over its outputs)
+    "q40_crawl_flagship" ->
+      """SELECT url, label, title, abstract_text, crawl_rank
+        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |ORDER BY crawl_rank""".stripMargin,
+    "q41_crawl_digest" ->
+      """SELECT crawl_rank >> 50 AS seed, count(*) AS n_papers,
+        |  CAST(sum(length(extracted_md)) AS BIGINT) AS digest_len
+        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |WHERE extracted_md <> '' GROUP BY 1 ORDER BY seed""".stripMargin,
+    "q42_crawl_label_counts" ->
+      """SELECT label, count(*) AS n
+        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |WHERE label <> '' GROUP BY label ORDER BY label""".stripMargin,
+    "q43_crawl_host_metrics" ->
+      """SELECT host, wave, count(*) AS fetches,
+        |  CAST(sum(CASE WHEN status=200 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+        |  CAST(sum(CASE WHEN status=503 THEN 1 ELSE 0 END) AS BIGINT) AS retryable,
+        |  CAST(sum(CASE WHEN status=404 THEN 1 ELSE 0 END) AS BIGINT) AS missing
+        |FROM '/tmp/graft_oracle_tables/fetch_log/*.parquet'
+        |GROUP BY host, wave ORDER BY host, wave""".stripMargin,
+    "q44_crawl_citations" ->
+      """SELECT label AS id, title, url
+        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |WHERE parser = 'cite' ORDER BY id, url""".stripMargin,
+    "q45_listing_digest" ->
+      """WITH listings AS (
+        |  SELECT crawl_rank >> 50 AS seed, title AS date
+        |  FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |  WHERE label = 'listing'),
+        |papers AS (
+        |  SELECT crawl_rank >> 50 AS seed, count(*) AS n_papers,
+        |    CAST(sum(length(extracted_md)) AS BIGINT) AS digest_len
+        |  FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |  WHERE url LIKE 'https://arxiv.org/%' GROUP BY 1)
+        |SELECT l.seed, l.date, coalesce(p.n_papers, 0) AS n_papers,
+        |  coalesce(p.digest_len, 0) AS digest_len
+        |FROM listings l LEFT JOIN papers p ON l.seed = p.seed
+        |ORDER BY l.seed""".stripMargin,
+    "q46_conference_records" ->
+      """SELECT parser, url, doi, label, title, crawl_rank
+        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |WHERE parser IN ('icra', 'isca') ORDER BY crawl_rank""".stripMargin,
+    "q48_repo_search" ->
+      """SELECT label, title, url, crawl_rank
+        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |WHERE parser = 'repo' ORDER BY crawl_rank""".stripMargin,
+    "q28_api_lookup" ->
+      """WITH hits AS (
+        |  SELECT r.doc_id, r.variant_rank,
+        |    regexp_extract(i.atom_xml, 'arxiv\.org/abs/(\d+\.\d+)', 1)
+        |      AS arxiv_id,
+        |    row_number() OVER (PARTITION BY r.doc_id ORDER BY r.variant_rank)
+        |      AS rn
+        |  FROM '/tmp/graft_oracle_tables/api_requests/*.parquet' r
+        |  JOIN '/tmp/graft_oracle_tables/api_index/*.parquet' i
+        |    ON r.variant = i.variant)
+        |SELECT doc_id, variant_rank, arxiv_id FROM hits
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q47_zotero_priority" ->
+      """WITH items AS (
+        |  SELECT doc_id, source, substring(text, 1, 40) AS title,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> w IN ('spark','stream','skew','shuffle','robust')) AS tags
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT *,
+        |    list_filter(tags, w -> w IN ('spark','skew')) AS top_tags,
+        |    list_filter(tags, w -> w = 'stream') AS survey_tags,
+        |    list_filter(tags, w -> w NOT IN ('spark','skew')
+        |      AND w <> 'stream') AS other_tags
+        |  FROM items),
+        |best AS (
+        |  SELECT *, CASE WHEN len(survey_tags) > 0 THEN 1
+        |    WHEN len(top_tags) > 0 THEN 2
+        |    WHEN len(other_tags) > 0 THEN 3 END AS best
+        |  FROM flagged),
+        |ranked AS (SELECT * FROM best WHERE best IS NOT NULL),
+        |sec AS (SELECT title, min(best) AS section_no FROM ranked
+        |  GROUP BY title),
+        |qual AS (
+        |  SELECT b.*, s.section_no FROM ranked b
+        |  JOIN sec s ON b.title = s.title
+        |  WHERE CASE s.section_no WHEN 1 THEN len(b.survey_tags) > 0
+        |    WHEN 2 THEN len(b.top_tags) > 0
+        |    ELSE len(b.other_tags) > 0 END),
+        |reps AS (SELECT title, section_no, min(doc_id) AS rep_doc
+        |  FROM qual GROUP BY 1, 2)
+        |SELECT
+        |  CASE r.section_no WHEN 1 THEN 'survey'
+        |    WHEN 2 THEN 'top_conference' ELSE 'other' END AS section,
+        |  r.title, r.rep_doc,
+        |  coalesce(array_to_string(b.top_tags, ', '), '') AS conf,
+        |  '【】' || r.title || ' (' ||
+        |    CASE WHEN len(b.top_tags) > 0
+        |      THEN array_to_string(b.top_tags, ', ') || ' ' || b.source
+        |      ELSE b.source END || ')' AS line
+        |FROM reps r JOIN ranked b
+        |  ON b.doc_id = r.rep_doc AND b.title = r.title
+        |ORDER BY r.section_no, r.rep_doc""".stripMargin,
     "q27_media_features" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

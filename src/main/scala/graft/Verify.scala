@@ -22,6 +22,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // crawl + API tables for the q4x/q28 oracles: the DuckDB side reads
+    // these by absolute path and re-aggregates them independently
+    try {
+      graft.operators.CrawlPipelines.dumpForOracle(spark)
+      graft.operators.CoreQueries.dumpApiTables(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

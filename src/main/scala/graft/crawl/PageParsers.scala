@@ -1,7 +1,7 @@
 package graft.crawl
 
 import java.util.regex.Pattern
-import graft.extract.{ArxivExtract, MarkdownConvert, MiniHtml}
+import graft.extract.{ArxivExtract, ConferenceExtract, MarkdownConvert, MiniHtml}
 import graft.frontier.FrontierEntry
 import graft.url.UrlCanon
 
@@ -14,6 +14,10 @@ import graft.url.UrlCanon
   * the page's rank plus their in-page item index in the low 12 bits
   * (document order, `re.finditer` order in the reference —
   * arxiv/search_pdf_string.py:61).
+  *
+  * Every record carries its `parser` family (provenance — sinks and the
+  * citation pipeline filter on it, never on URL shape) and a `doi` (the
+  * ICRA family extracts one, conference/ICRA.py:47; empty elsewhere).
   */
 object PageParsers {
 
@@ -23,6 +27,8 @@ object PageParsers {
       title: String,
       abstract_text: String,
       extracted_md: String,
+      doi: String,
+      parser: String,
       crawl_rank: Long
   )
 
@@ -48,12 +54,17 @@ object PageParsers {
 
   /** Parse a successfully-fetched page according to its kind. */
   def parse(e: FrontierEntry, html: String): ParseResult = e.kind match {
-    case "search" => parseSearch(e, html)
-    case "paper"  => parsePaper(e, html)
-    case "blog"   => parseBlog(e, html)
-    case "cite"   => parseCite(e, html)
-    case "list"   => parseListing(e, html)
-    case _        => ParseResult(Vector.empty, Vector.empty)
+    case "search"     => parseSearch(e, html)
+    case "paper"      => parsePaper(e, html)
+    case "blog"       => parseBlog(e, html)
+    case "cite"       => parseCite(e, html)
+    case "list"       => parseListing(e, html)
+    case "icra_index" => parseIcraIndex(e, html)
+    case "icra"       => parseIcraProc(e, html)
+    case "isca_index" => parseIscaIndex(e, html)
+    case "isca"       => parseIscaYear(e, html)
+    case "repo"       => parseRepo(e, html)
+    case _            => ParseResult(Vector.empty, Vector.empty)
   }
 
   /** Daily listing page (§3.2, new.py:36-49): one record carrying the
@@ -68,7 +79,8 @@ object PageParsers {
         e.pageIdx, i)
     }
     ParseResult(
-      Vector(CrawlRecord(e.url, "listing", date, "", "", e.crawlRank)),
+      Vector(CrawlRecord(e.url, "listing", date, "", "", "", "list",
+        e.crawlRank)),
       links)
   }
 
@@ -79,8 +91,8 @@ object PageParsers {
   private def parseSearch(e: FrontierEntry, html: String): ParseResult = {
     val (items, _) = ArxivExtract.parseArxivResult(html, "")
     val records = items.zipWithIndex.map { case (it, i) =>
-      CrawlRecord(it.url, it.label, it.title, it.abstractText, "",
-        e.crawlRank | i.toLong)
+      CrawlRecord(it.url, it.label, it.title, it.abstractText, "", "",
+        "search", e.crawlRank | i.toLong)
     }
     val absRe = Pattern.compile("<a href=\"([^\"]+)\">abs</a>")
     val absLinks = {
@@ -112,7 +124,7 @@ object PageParsers {
         val md = ArxivExtract.digest(f, e.url)
         ParseResult(
           Vector(CrawlRecord(e.url, f.comments, f.title, f.abstractText, md,
-            e.crawlRank)),
+            "", "paper", e.crawlRank)),
           Vector.empty)
     }
   }
@@ -126,7 +138,8 @@ object PageParsers {
     val cits = graft.extract.CitationExtract
       .extractCitations(doc, "col-references")
     val records = cits.zipWithIndex.map { case (c, i) =>
-      CrawlRecord(c.url, c.id, c.title, "", "", e.crawlRank | i.toLong)
+      CrawlRecord(c.url, c.id, c.title, "", "", "", "cite",
+        e.crawlRank | i.toLong)
     }
     val next = graft.extract.CitationExtract.nextPageRef(doc, "col-references")
       .map(href => OutLink(UrlCanon.resolve(e.url, href), "cite", e.seed,
@@ -148,7 +161,87 @@ object PageParsers {
       }.toVector
     ParseResult(
       Vector(CrawlRecord(e.url, "", MarkdownConvert.firstValidText(target),
-        "", md, e.crawlRank)),
+        "", md, "", "blog", e.crawlRank)),
       links)
+  }
+
+  /** ICRA publications index (conference/ICRA.py:67-77): `/pub…` hrefs →
+    * proceedings pages at depth+1, no records.
+    */
+  private def parseIcraIndex(e: FrontierEntry, html: String): ParseResult = {
+    val links = ConferenceExtract.parseIcraIndex(html).zipWithIndex.map {
+      case (u, i) => OutLink(u, "icra", e.seed, e.depth + 1, e.pageIdx, i)
+    }
+    ParseResult(Vector.empty, links)
+  }
+
+  /** ICRA proceedings page (conference/ICRA.py:30-50): one year meta
+    * record (label "year" — the reference groups its output dir by year)
+    * + one record per article with its DOI; terminal.
+    */
+  private def parseIcraProc(e: FrontierEntry, html: String): ParseResult = {
+    val (year, items) = ConferenceExtract.parseIcraProceedings(html)
+    val meta = CrawlRecord(e.url, "year", year, "", "", "", "icra",
+      e.crawlRank)
+    val records = items.zipWithIndex.map { case (it, i) =>
+      CrawlRecord(it.url, it.label, it.title, "", "", it.doi, "icra",
+        e.crawlRank | (i + 1).toLong)
+    }
+    ParseResult(meta +: records, Vector.empty)
+  }
+
+  /** ISCA archive index (conference/ISCA.py:102-111): year links with the
+    * F6 filter (≤ 2016) → year pages at depth+1, no records.
+    */
+  private def parseIscaIndex(e: FrontierEntry, html: String): ParseResult = {
+    val links = ConferenceExtract.parseIscaIndex(html).zipWithIndex.map {
+      case ((_, href), i) =>
+        OutLink(UrlCanon.resolve(e.url, href), "isca", e.seed, e.depth + 1,
+          e.pageIdx, i)
+    }
+    ParseResult(Vector.empty, links)
+  }
+
+  /** ISCA year page (conference/ISCA.py:80-92): per-card category +
+    * .html→.pdf link + sanitized `{title}_{year}.pdf` file name; the year
+    * comes from the page URL's 4-digit run (the reference passes the index
+    * link TEXT down the call chain — in our fixture text == the URL year,
+    * which is also true of the real archive's layout); terminal.
+    */
+  private def parseIscaYear(e: FrontierEntry, html: String): ParseResult = {
+    val yearRe = Pattern.compile("(\\d{4})")
+    val lastSeg = e.url.substring(e.url.lastIndexOf('/') + 1)
+    val m = yearRe.matcher(lastSeg)
+    val year = if (m.find()) m.group(1) else "0000"
+    val items = ConferenceExtract.parseIscaYearPage(html, e.url, year)
+    val records = items.zipWithIndex.map { case (it, i) =>
+      CrawlRecord(it.url, it.category, it.fileName, "", "", "", "isca",
+        e.crawlRank | i.toLong)
+    }
+    ParseResult(records, Vector.empty)
+  }
+
+  /** GitHub repo search (getrepository.py): page 0 is the driver page —
+    * GetPageNum from the pagination div, then GenUrls fan-out (E19,
+    * including the p=1 twin of the main page, exactly as the reference
+    * re-fetches it); result pages parse repo hrefs into clone records
+    * labeled by their 0-based page dir (`page_{i}`, the K5 layout).
+    */
+  private def parseRepo(e: FrontierEntry, html: String): ParseResult = {
+    if (e.pageIdx == 0) {
+      val n = ConferenceExtract.parseRepoPageNum(html)
+      val links = ArxivExtract.genUrls(e.url, n).zipWithIndex.map {
+        case (u, i) => OutLink(u, "repo", e.seed, e.depth, i + 1, 0)
+      }
+      ParseResult(Vector.empty, links)
+    } else {
+      val records = ConferenceExtract.parseRepoUrls(html).zipWithIndex.map {
+        case (href, i) =>
+          val (name, cloneUrl) = ConferenceExtract.repoCloneTarget(href)
+          CrawlRecord(cloneUrl, s"page_${e.pageIdx - 1}", name, "", "", "",
+            "repo", e.crawlRank | i.toLong)
+      }
+      ParseResult(records, Vector.empty)
+    }
   }
 }

@@ -86,6 +86,66 @@ object ArxivExtract {
     (items.toVector, false)
   }
 
+  // ---- E3: item parse, xpath mode (arxiv/search_pdf.py:30-52) ------------
+
+  /** E3's title normalization (search_pdf.py:45-46): every char outside
+    * `[a-zA-Z0-9#$%&()]` becomes a space, then whitespace runs collapse to
+    * single spaces with ends trimmed (Python `" ".join(s.split())`).
+    * DIFFERENT from E2's title (which only strips tags) — two of the three
+    * search_pdf variants emit titles through this transform.
+    */
+  def cleanXpathTitle(title: String): String = {
+    val sb = new java.lang.StringBuilder(title.length)
+    var i = 0
+    while (i < title.length) {
+      val c = title.charAt(i)
+      val keep = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '#' || c == '$' || c == '%' ||
+        c == '&' || c == '(' || c == ')'
+      sb.append(if (keep) c else ' ')
+      i += 1
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** E3: xpath-mode item parse (search_pdf.py:30-52). Items are the `li`
+    * children of `main/div['content']/ol` (lxml treats the string
+    * predicate as constant-true ⇒ div[1]); per item:
+    *   url   = div/p/span/a[1]/@href  (item skipped when absent)
+    *   label = div/div/span[1]/text() list, "cs.CV" preferred else first
+    *   title = li's p[1] text nodes joined, then [[cleanXpathTitle]]
+    */
+  def parseArxivResultXpath(html: String): Vector[Item] = {
+    val doc = MiniHtml.parse(html)
+    val ol = for {
+      h <- doc.nthChild("html", 1)
+      body <- h.nthChild("body", 1)
+      main <- body.nthChild("main", 1)
+      d <- main.nthChild("div", 1)
+      ol <- d.nthChild("ol", 1)
+    } yield ol
+    ol.toVector.flatMap(_.childElements("li")).flatMap { li =>
+      val url = li.childElements("div")
+        .flatMap(_.childElements("p"))
+        .flatMap(_.childElements("span"))
+        .flatMap(_.childElements("a").headOption)
+        .flatMap(_.attr("href"))
+        .headOption
+      val labels = li.childElements("div")
+        .flatMap(_.childElements("div"))
+        .flatMap(_.childElements("span").headOption)
+        .flatMap(_.directTexts.headOption)
+      val label =
+        if (labels.contains("cs.CV")) "cs.CV" else labels.headOption.getOrElse("")
+      val title = cleanXpathTitle(
+        li.nthChild("p", 1).map(_.directTexts.mkString("")).getOrElse(""))
+      url match {
+        case Some(u) if labels.nonEmpty => Some(Item(u, label, title, ""))
+        case _ => None
+      }
+    }
+  }
+
   private def cleanAbstract(raw: String): String = {
     var a = AnchorRe.matcher(raw).replaceAll("")
     a = removeTags(a).trim
@@ -296,6 +356,26 @@ object ArxivExtract {
     })
     txt += s"${f.abstractText}  \n\n"
     txt
+  }
+
+  // ---- S4: Atom API response parse (name2arxivid.py:160-172) --------------
+  private val AtomEntryRe = Pattern.compile("(?s)<entry[\\s>].*?</entry>")
+  private val AtomIdRe = Pattern.compile("(?s)<id>(.*?)</id>")
+  private val ArxivAbsIdRe = Pattern.compile("arxiv\\.org/abs/(\\d+\\.\\d+)")
+
+  /** First Atom `<entry>`'s `<id>` text, then the
+    * `arxiv\.org/abs/(\d+\.\d+)` capture — exactly the reference's
+    * `ET.findall('.//entry')[0].find('.//id')` + regex cascade. None when
+    * the feed has no entries, the first entry has no id, or the id is not
+    * an abs URL (each a distinct reference failure branch).
+    */
+  def parseAtomFirstId(xml: String): Option[String] = {
+    val em = AtomEntryRe.matcher(xml)
+    if (!em.find()) return None
+    val im = AtomIdRe.matcher(em.group())
+    if (!im.find()) return None
+    val am = ArxivAbsIdRe.matcher(im.group(1))
+    if (am.find()) Some(am.group(1)) else None
   }
 
   // ---- listing page (new.py:36-49) ----------------------------------------

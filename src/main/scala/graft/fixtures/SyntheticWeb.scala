@@ -278,6 +278,119 @@ object SyntheticWeb {
        |</div></body></html>""".stripMargin
   }
 
+  // ---- conference + repo-search families (ICRA.py / ISCA.py /
+  // getrepository.py) ------------------------------------------------------
+
+  def icraIndexUrl(h: Int) = s"https://icra$h.example.org/publications/search.php"
+  def icraProcsPerHost = 2
+  /** Proceedings live on a synthetic `www.iaarc.org` host because the
+    * reference prefixes index hrefs with that literal root
+    * (conference/ICRA.py:76), exactly like the listing family's literal
+    * arxiv.org.
+    */
+  def icraProcUrl(h: Int, p: Int) = s"https://www.iaarc.org/pub_h${h}_y$p"
+  def icraYear(p: Int): Int = 2014 + p
+
+  /** ICRA index: `/pub…` hrefs, one with `&amp;` to exercise the unescape
+    * fixup (ICRA.py:76).
+    */
+  def icraIndexHtml(cfg: Config, h: Int): String = {
+    val links = (0 until icraProcsPerHost).map { p =>
+      val extra = if (p == 1) "&amp;sort=year" else ""
+      s"""<a href="/pub_h${h}_y$p$extra">ISARC ${icraYear(p)}</a>"""
+    }.mkString("\n")
+    s"""<html><body><div class="pubs">\n$links\n</div></body></html>"""
+  }
+
+  /** ICRA proceedings page: h2 year + `article compact` patches, each a
+    * title anchor (first — the title regex takes the first anchor), a doi
+    * anchor, and a "Download fulltext" anchor whose path contains a SPACE
+    * (the %20 fixup, ICRA.py:46). Item divs are left unclosed so the final
+    * patch terminates at the literal `</div></div>` the finditer lookahead
+    * expects (ICRA.py:37).
+    */
+  def icraProcHtml(cfg: Config, h: Int, p: Int): String = {
+    val year = icraYear(p)
+    val items = (0 until cfg.itemsPerPage).map { i =>
+      val title = titleOf(cfg, h, 500 + p, i)
+      s"""<div class="article compact">
+         |<a href="#paper$i">$title</a>
+         |<a href="https://doi.org/10.22260/ISARC$year-$i">10.22260/ISARC$year-$i</a>
+         |<a href="proceedings/$year/paper $i.pdf">Download fulltext</a>
+         |""".stripMargin
+    }.mkString("")
+    s"""<html><body><h2>$year Proceedings of ISARC</h2><div>
+       |$items</div></div></body></html>""".stripMargin
+  }
+
+  def iscaIndexUrl(h: Int) = s"https://isca$h.example.org/index.html"
+  def iscaYears: Seq[Int] = 2014 to 2018 // F6 keeps ≤ 2016
+  def iscaYearUrl(h: Int, y: Int) = s"https://isca$h.example.org/conf_$y.html"
+
+  def iscaIndexHtml(cfg: Config, h: Int): String = {
+    val links = iscaYears.map { y =>
+      s"""<a class="w3-text-blue w3-margin" href="conf_$y.html">$y</a>"""
+    }.mkString("\n")
+    s"""<html><body><div class="w3-container w3-padding">
+       |$links
+       |</div></body></html>""".stripMargin
+  }
+
+  /** ISCA year page: category cards with `a.w3-text` paper links. i==1
+    * hrefs contain "html" INSIDE the path (the replace-all bug-compat
+    * case, ISCA.py:86); i==2 titles contain '/' (SanitizeFilename case).
+    */
+  def iscaYearHtml(cfg: Config, h: Int, y: Int): String = {
+    val cards = (0 until 2).map { c =>
+      val links = (0 until cfg.itemsPerPage).map { i =>
+        val href =
+          if (i == 1) s"htmlpapers/c${c}_p$i.html" else s"papers/c${c}_p$i.html"
+        val title0 = titleOf(cfg, h, 600 + y, c * 100 + i)
+        val title = if (i == 2) title0.replaceFirst(" ", "/") else title0
+        s"""<a class="w3-text" href="$href"><p>$title
+           |second line ignored</p></a>""".stripMargin
+      }.mkString("\n")
+      s"""<div class="w3-card w3-round w3-white w3-padding">
+         |<h4 class="w3-center"> Track $c </h4>
+         |$links
+         |</div>""".stripMargin
+    }.mkString("\n")
+    s"""<html><body>$cards</body></html>"""
+  }
+
+  def repoSearchUrl(h: Int) =
+    s"https://github$h.example.org/search?type=repositories&q=q$h"
+  def repoPageUrl(h: Int, p: Int) =
+    s"https://github$h.example.org/search?type=repositories&p=$p&q=q$h"
+  def repoPagesPerHost(cfg: Config): Int = math.max(2, cfg.pagesPerHost - 1)
+
+  /** Repo search driver page: only the pagination div — page count is the
+    * SECOND-TO-LAST anchor ("Next" is last, getrepository.py:68).
+    */
+  def repoMainHtml(cfg: Config, h: Int): String = {
+    val n = repoPagesPerHost(cfg)
+    val nums = (1 to n).map(i => s"""<a href="?p=$i">$i</a>""").mkString("\n")
+    s"""<html><body>
+       |<div class="Box-sc-g0xbh4-0 gukfho TablePaginationSteps">
+       |$nums
+       |<a href="?p=2">Next</a>
+       |</div></body></html>""".stripMargin
+  }
+
+  /** Repo search result page: results-list div with the exact styled-link
+    * class on repo anchors (getrepository.py:75).
+    */
+  def repoPageHtml(cfg: Config, h: Int, p: Int): String = {
+    val items = (0 until cfg.itemsPerPage).map { i =>
+      val n = math.abs(mix(cfg.seed ^ (h.toLong << 49) ^ (p.toLong << 29) ^ i))
+      s"""<div><a class="Link__StyledLink-sc-14289xe-0 dheQRw"
+         | href="/user${n % 50}/repo${n % 997}">repo${n % 997}</a></div>""".stripMargin
+    }.mkString("\n")
+    s"""<html><body><div data-testid="results-list">
+       |$items
+       |</div></body></html>""".stripMargin
+  }
+
   /** Flaky marker: pages failing their first n fetch attempts (R2/R3). */
   def isFlaky(cfg: Config, h: Int, p: Int, i: Int): Boolean =
     (math.abs(mix(cfg.seed ^ (h.toLong << 45) ^ (p.toLong << 25) ^ (i + 3))) % 7) == 3
@@ -316,7 +429,20 @@ object SyntheticWeb {
       val arxivPapers = (0 until cfg.itemsPerPage).map { i =>
         (arxivAbsUrl(cfg, h, i), "paper", h, listPaperCoord(h), i, 0, "")
       }
-      search ++ papers ++ blogs ++ cites ++ listing ++ arxivPapers
+      val icra = Seq((icraIndexUrl(h), "icra_index", h, 0, 0, 0, "")) ++
+        (0 until icraProcsPerHost).map { p =>
+          (icraProcUrl(h, p), "icra", h, p, 0, 0, "")
+        }
+      val isca = Seq((iscaIndexUrl(h), "isca_index", h, 0, 0, 0, "")) ++
+        iscaYears.map { y =>
+          (iscaYearUrl(h, y), "isca", h, y, 0, 0, "")
+        }
+      val repo = Seq((repoSearchUrl(h), "repo", h, 0, 0, 0, "")) ++
+        (1 to repoPagesPerHost(cfg)).map { p =>
+          (repoPageUrl(h, p), "repo", h, p, 0, 0, "")
+        }
+      search ++ papers ++ blogs ++ cites ++ listing ++ arxivPapers ++
+        icra ++ isca ++ repo
     }
   }
 
@@ -325,11 +451,17 @@ object SyntheticWeb {
     import spark.implicits._
     coords(spark, cfg).map { case (url, kind, h, p, i, depth, path) =>
       val html = kind match {
-        case "search" => searchPageHtml(cfg, h, p)
-        case "paper"  => paperPageHtml(cfg, h, p, i)
-        case "cite"   => citePageHtml(cfg, h, p)
-        case "list"   => listPageHtml(cfg, h)
-        case _        => blogPageHtml(cfg, h, path, depth)
+        case "search"     => searchPageHtml(cfg, h, p)
+        case "paper"      => paperPageHtml(cfg, h, p, i)
+        case "cite"       => citePageHtml(cfg, h, p)
+        case "list"       => listPageHtml(cfg, h)
+        case "icra_index" => icraIndexHtml(cfg, h)
+        case "icra"       => icraProcHtml(cfg, h, p)
+        case "isca_index" => iscaIndexHtml(cfg, h)
+        case "isca"       => iscaYearHtml(cfg, h, p)
+        case "repo" if p == 0 => repoMainHtml(cfg, h)
+        case "repo"       => repoPageHtml(cfg, h, p)
+        case _            => blogPageHtml(cfg, h, path, depth)
       }
       val text = kind match {
         case "search" => "" // search pages carry no extracted-text contract
@@ -356,7 +488,13 @@ object SyntheticWeb {
       Seed(2 * cfg.nHosts + h, citePageUrl(h, 0), "cite", ""))
     val l = (0 until cfg.nHosts).map(h =>
       Seed(3 * cfg.nHosts + h, listPageUrl(h), "list", s"subject$h"))
-    spark.createDataset(s ++ b ++ c ++ l)
+    val ic = (0 until cfg.nHosts).map(h =>
+      Seed(4 * cfg.nHosts + h, icraIndexUrl(h), "icra_index", ""))
+    val is = (0 until cfg.nHosts).map(h =>
+      Seed(5 * cfg.nHosts + h, iscaIndexUrl(h), "isca_index", ""))
+    val rp = (0 until cfg.nHosts).map(h =>
+      Seed(6 * cfg.nHosts + h, repoSearchUrl(h), "repo", s"q$h"))
+    spark.createDataset(s ++ b ++ c ++ l ++ ic ++ is ++ rp)
   }
 
   final case class Robots(host: String, disallow_prefixes: Seq[String],

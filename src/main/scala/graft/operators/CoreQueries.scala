@@ -45,14 +45,24 @@ object CoreQueries {
   }
 
   /** F3 (arxiv/search_pdf_string.py:167-174): label prefix filter with the
-    * reference's normalization (append '.' when absent, lowercase).
+    * reference's normalization — append '.' when the filter has none, then
+    * lowercase ("cs" must match "cs.CV" but NOT "csx.AI"; the dot is what
+    * stops prefix bleed between label families). The documents table has
+    * no dotted-label column, so the arXiv-style label is derived
+    * deterministically (mirrored in the oracle): family "srcN" with
+    * doc_id%7==0 rows in the adversarial "src1x" family that a dotless
+    * prefix WOULD wrongly match.
     */
   def labelPrefix(s: SparkSession, dir: String): DataFrame = {
     val raw = "src1"
-    val norm = (if (raw.contains(".")) raw else raw).toLowerCase
+    val norm = (if (raw.contains(".")) raw else raw + ".").toLowerCase
     t(s, dir, "documents")
-      .filter(startswith(lower(col("source")), lit(norm)))
-      .select("doc_id", "source")
+      .withColumn("label",
+        concat(col("source"),
+          when(col("doc_id") % 7 === 0, lit("x")).otherwise(lit("")),
+          lit("."), upper(col("lang"))))
+      .filter(startswith(lower(col("label")), lit(norm)))
+      .select("doc_id", "source", "label")
       .orderBy("doc_id")
   }
 
@@ -202,33 +212,74 @@ object CoreQueries {
         sum(when(!blockedPred, 1L).otherwise(0L)).as("kept"))
   }
 
-  /** S4 (name2arxivid.py:147-175) + E10/E11: title → clean → search
-    * variants → lookup join against a small api index (the Atom API as a
-    * broadcast-joined table, SURVEY.md S4), first variant (O5) wins.
-    * The index here is derived from the same corpus (every doc's cleaned
-    * full text head is "resolvable"), making hits deterministic.
+  /** The per-doc search variants (E11) and the Atom API index — the S4
+    * surface shared by [[apiLookup]] and the oracle dump: `apiRequests`
+    * is every (doc, variant_rank, variant) probe the cascade would issue;
+    * `apiIndex` maps each resolvable variant to the Atom XML RESPONSE the
+    * API would return (deterministically derived from the corpus — every
+    * doc's cleaned title head resolves, first doc wins a shared variant).
+    * The response embeds the id as `http://arxiv.org/abs/NNNN.NNNNNv1`
+    * inside the first `<entry>`, plus a decoy second entry — the parse
+    * must pick entry[0] exactly as name2arxivid.py:165 does.
     */
-  def apiLookup(s: SparkSession, dir: String): DataFrame = {
-    val cleanUdf = udf((t: String) => graft.extract.TitleClean.cleanTitle(t))
+  def apiRequests(s: SparkSession, dir: String): DataFrame = {
     val variantsUdf = udf((t: String) =>
       graft.extract.TitleClean.searchVariants(t))
-    val docs = t(s, dir, "documents")
+    t(s, dir, "documents")
       .withColumn("title", substring(col("text"), 1, 64))
-    val apiIndex = docs
+      .select(col("doc_id"),
+        posexplode(variantsUdf(col("title"))).as(Seq("variant_rank", "variant")))
+  }
+
+  def apiIndex(s: SparkSession, dir: String): DataFrame = {
+    val cleanUdf = udf((t: String) => graft.extract.TitleClean.cleanTitle(t))
+    t(s, dir, "documents")
+      .withColumn("title", substring(col("text"), 1, 64))
       .select(cleanUdf(col("title")).as("variant"),
         col("doc_id").as("resolved_id"))
       .groupBy("variant").agg(min("resolved_id").as("resolved_id"))
-    val exploded = docs
-      .select(col("doc_id"),
-        posexplode(variantsUdf(col("title"))).as(Seq("variant_rank", "variant")))
+      .select(col("variant"),
+        concat(
+          lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><entry><id>" +
+            "http://arxiv.org/abs/"),
+          format_string("%04d.%05d",
+            lit(2400) + pmod(col("resolved_id"), lit(100)),
+            pmod(col("resolved_id"), lit(100000))),
+          lit("v1</id></entry><entry><id>http://arxiv.org/abs/9999.99999" +
+            "</id></entry></feed>")).as("atom_xml"))
+  }
+
+  /** Dump the API request/response tables for the q28 DuckDB oracle —
+    * the DuckDB side re-runs the join + first-variant pick + XML id
+    * extraction independently over these files.
+    */
+  val ApiDumpDir = "/tmp/graft_oracle_tables"
+  def dumpApiTables(s: SparkSession, dir: String): Unit = {
+    apiRequests(s, dir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$ApiDumpDir/api_requests")
+    apiIndex(s, dir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$ApiDumpDir/api_index")
+  }
+
+  /** S4 (name2arxivid.py:147-175) + E10/E11: title → clean → search
+    * variants → lookup join against the Atom API index — each hit carries
+    * the API's Atom XML response, parsed for the first entry's
+    * `arxiv.org/abs/(\d+\.\d+)` id exactly like the reference
+    * (name2arxivid.py:160-172, [[graft.extract.ArxivExtract.parseAtomFirstId]]);
+    * first matching variant wins (O5).
+    */
+  def apiLookup(s: SparkSession, dir: String): DataFrame = {
+    val atomIdUdf = udf((xml: String) => Option(xml)
+      .flatMap(graft.extract.ArxivExtract.parseAtomFirstId).orNull)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("variant_rank")
-    exploded
-      .join(broadcast(apiIndex), Seq("variant"), "left")
-      .filter(col("resolved_id").isNotNull)
+    apiRequests(s, dir)
+      .join(broadcast(apiIndex(s, dir)), Seq("variant"), "left")
+      .withColumn("arxiv_id", atomIdUdf(col("atom_xml")))
+      .filter(col("arxiv_id").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // first matching variant wins (O5)
-      .select(col("doc_id"), col("variant_rank"), col("resolved_id"))
+      .select(col("doc_id"), col("variant_rank"), col("arxiv_id"))
       .orderBy("doc_id")
   }
 
@@ -250,6 +301,73 @@ object CoreQueries {
       .orderBy(col("num_key"), col("name"), col("doc_id"))
       .select("doc_id", "name", "num_key")
       .limit(500)
+
+  /** The zotero item list with ARRAY-TYPED tags (zotero/title.py:38-43):
+    * tags are the document's words that fall in the tag pool; the
+    * three-way split preserves list order and multiplicity exactly like
+    * the reference's comprehensions — top_conference ∈ TOP, survey ==
+    * the survey tag, other = everything else (set difference via
+    * membership filters, the Spark `filter` HOF standing in for
+    * array_intersect/except with order preserved).
+    */
+  private val TagPool = Seq("spark", "stream", "skew", "shuffle", "robust")
+  private val TopTags = Seq("spark", "skew")
+  private val SurveyTag = "stream"
+
+  def zoteroItems(s: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val tags = filter(words, w => w.isin(TagPool: _*))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 40).as("title"), tags.as("tags"))
+      .withColumn("top_tags", filter(col("tags"), w => w.isin(TopTags: _*)))
+      .withColumn("survey_tags", filter(col("tags"), w => w === SurveyTag))
+      .withColumn("other_tags", filter(col("tags"),
+        w => !w.isin(TopTags: _*) && w =!= SurveyTag))
+  }
+
+  /** E20+F12 as the reference actually runs them (zotero/title.py:45-62):
+    * three print sections in priority order — 综述/survey, 顶会/top
+    * conference, 其他/other — where `printed_titles` dedups across
+    * sections: a title prints in the FIRST section any of its items
+    * qualifies for, at the position of its first qualifying item, with
+    * that item's top-tags + date in the printed line.
+    */
+  def zoteroPriorityDedup(s: SparkSession, dir: String): DataFrame = {
+    val items = zoteroItems(s, dir)
+      .withColumn("best",
+        when(size(col("survey_tags")) > 0, 1)
+          .when(size(col("top_tags")) > 0, 2)
+          .when(size(col("other_tags")) > 0, 3))
+      .filter(col("best").isNotNull)
+    val sectionOf = items.groupBy("title")
+      .agg(min(col("best")).as("section_no"))
+    val qualifies = items.join(sectionOf, "title")
+      .filter(
+        when(col("section_no") === 1, size(col("survey_tags")) > 0)
+          .when(col("section_no") === 2, size(col("top_tags")) > 0)
+          .otherwise(size(col("other_tags")) > 0))
+    val reps = qualifies.groupBy("title", "section_no")
+      .agg(min("doc_id").as("rep_doc"))
+    val repRows = items.select(col("doc_id").as("rep_doc"),
+      col("title"), col("top_tags"), col("source"))
+    reps.join(repRows, Seq("rep_doc", "title"))
+      .withColumn("section",
+        when(col("section_no") === 1, "survey")
+          .when(col("section_no") === 2, "top_conference")
+          .otherwise("other"))
+      .withColumn("conf", concat_ws(", ", col("top_tags")))
+      // the printed line (title.py:49): date falls back in when no top tag
+      .withColumn("line",
+        concat(lit("【】"), col("title"), lit(" ("),
+          when(col("conf") =!= "",
+            concat(col("conf"), lit(" "), col("source")))
+            .otherwise(col("source")),
+          lit(")")))
+      .select("section", "title", "rep_doc", "conf", "line", "section_no")
+      .orderBy("section_no", "rep_doc")
+      .drop("section_no")
+  }
 
   /** E20 (zotero/title.py:38-42): tag classification into
     * top_conference / survey / other partitions — the reference's

@@ -76,13 +76,49 @@ object CrawlPipelines {
 
   /** §3.3 citations: one-hop citation expansion (R5 pagination), output
     * sorted ascending by id exactly as the reference saves it (O2,
-    * citations.py:145).
+    * citations.py:145). Filtered by record PROVENANCE (parser family),
+    * not URL shape — the listing pipeline also discovers arxiv.org urls
+    * and must not leak into the citation output.
     */
   def citations(s: SparkSession, dir: String): DataFrame =
     result(s).records
-      .filter(col("url").rlike("arxiv\\.org|doi\\.org|other\\.example"))
+      .filter(col("parser") === "cite")
       .select(col("label").as("id"), col("title"), col("url"))
       .orderBy("id", "url")
+
+  /** Conference families (ICRA/ISCA) flattened: the doi-bearing ICRA
+    * article rows + per-year meta rows, and ISCA's
+    * (category, pdf url, sanitized file name) rows — the readme.csv / K5
+    * layout inputs of conference/ICRA.py:62-64 and ISCA.py:88-92.
+    */
+  def conferenceRecords(s: SparkSession, dir: String): DataFrame =
+    result(s).records
+      .filter(col("parser").isin("icra", "isca"))
+      .select("parser", "url", "doi", "label", "title", "crawl_rank")
+      .orderBy("crawl_rank")
+
+  /** Repo-search family (getrepository.py): per-page clone targets —
+    * label is the page_{i} artifact dir, title the `name_owner` clone dir.
+    */
+  def repoRecords(s: SparkSession, dir: String): DataFrame =
+    result(s).records
+      .filter(col("parser") === "repo")
+      .select("label", "title", "url", "crawl_rank")
+      .orderBy("crawl_rank")
+
+  /** Dump the crawl's records + fetch_log as plain parquet at a FIXED
+    * path, so the driver's DuckDB oracle can aggregate the same tables
+    * the q4x queries aggregate (Verify calls this after the query dump;
+    * the q4x oracle SQL reads these files by absolute path).
+    */
+  val OracleDumpDir = "/tmp/graft_oracle_tables"
+  def dumpForOracle(s: SparkSession): Unit = {
+    val r = result(s)
+    r.records.coalesce(1).write.mode("overwrite")
+      .parquet(s"$OracleDumpDir/records")
+    r.fetchLog.coalesce(1).write.mode("overwrite")
+      .parquet(s"$OracleDumpDir/fetch_log")
+  }
 
   /** §3.2 listing digest (new.py end-to-end): listing pages contribute
     * the (subject=seed, date) key; their discovered abs pages contribute

@@ -74,4 +74,24 @@ object Sinks {
     df.select(label.as("label"),
       element_at(split(url, "/"), -1).as("file_name"),
       payload.as("payload"))
+
+  /** K7 (arxiv.py:178-184 / getrepository.py save): timestamped XML dump —
+    * file name `YYYYMMDD-HHMMSS .xml` (the reference's strftime pattern
+    * ends with a literal SPACE before the extension) opened in APPEND mode.
+    * The clock is injected so the contract is testable; production passes
+    * `System.currentTimeMillis`.
+    */
+  def tsXmlDump(dir: String, content: String,
+      clockMs: () => Long = () => System.currentTimeMillis()): java.nio.file.Path = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss ")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val name = fmt.format(new java.util.Date(clockMs())) + ".xml"
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val f = d.resolve(name)
+    java.nio.file.Files.writeString(f, content,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    f
+  }
 }
