@@ -170,8 +170,12 @@ object Bench {
       pagesPerHost = 4, itemsPerPage = 40, blogDepth = 2, blogFanout = 3,
       skewFactor = 2.0)
     if (!scalingOnly) {
+      // explicit temp LOCATION: a managed table's warehouse dir would
+      // survive the JVM and collide with the next bench run
       BucketedPages.write(spark, SyntheticWeb.pages(spark, webCfg),
-        "bench_crawl_pages", nBuckets = 32)
+        "bench_crawl_pages", nBuckets = 32,
+        path = Some(java.nio.file.Files
+          .createTempDirectory("bench-crawl-pages").toString + "/t"))
       val (crawlRes, crawlSec) = time {
         val dir = java.nio.file.Files.createTempDirectory("bench-crawl")
         CrawlLoop.run(spark, spark.emptyDataFrame,
@@ -198,21 +202,23 @@ object Bench {
       nBuckets = 32, path = Some(bucketDir))
     val nPages = spark.read.parquet(webDir).count()
 
-    // Interleaved min-of-3 per leg (see scaladoc): rep-major loop order so
+    // Interleaved min-of-N per leg (see scaladoc): rep-major loop order so
     // a CPU-steal burst poisons at most one rep of each leg, not all reps
     // of one leg. Each leg visit is a fresh session (honest re-plan); the
-    // codegen/JIT caches are JVM-wide, so only rep 1 pays warm runs.
+    // codegen/JIT caches are JVM-wide, so only rep 1 pays warm runs. The
+    // HEADLINE wave job gets 4 reps (its min still drifted a few percent
+    // at 3 on this shared VM); parse gets 3.
     val legs = Seq(2, 8, 32)
     val waveSecs = legs.map(p => p -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val parseSecs = legs.map(p => p -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
-    for (rep <- 1 to 3; p <- legs) {
+    for (rep <- 1 to 4; p <- legs) {
       spark = newSession(p, 64)
       BucketedPages.register(spark, "bench_wave_pages", bucketDir, 32)
       if (rep == 1) { // JIT + codegen + file-listing warm, once per leg
         parsePipeline(spark, webDir)
         wavePipeline(spark, "bench_wave_pages")
       }
-      parseSecs(p) += time(parsePipeline(spark, webDir))._2
+      if (rep <= 3) parseSecs(p) += time(parsePipeline(spark, webDir))._2
       waveSecs(p) += time(wavePipeline(spark, "bench_wave_pages"))._2
     }
     val waveTput = legs.map(p => p -> nPages / waveSecs(p).min).toMap

@@ -65,7 +65,8 @@ object SparkEntry {
     // conference + repo-search parser families (ICRA/ISCA/getrepository)
     "q46_conference_records" -> (CrawlPipelines.conferenceRecords _),
     "q47_zotero_priority" -> (CoreQueries.zoteroPriorityDedup _),
-    "q48_repo_search" -> (CrawlPipelines.repoRecords _)
+    "q48_repo_search" -> (CrawlPipelines.repoRecords _),
+    "q49_youtube_api" -> (CoreQueries.youtubeSearch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -292,7 +293,7 @@ object SparkEntry {
     "q46_conference_records" ->
       """SELECT parser, url, doi, label, title, crawl_rank
         |FROM '/tmp/graft_oracle_tables/records/*.parquet'
-        |WHERE parser IN ('icra', 'isca') ORDER BY crawl_rank""".stripMargin,
+        |WHERE parser IN ('icra', 'isca', 'icml', 'cvf') ORDER BY crawl_rank""".stripMargin,
     "q48_repo_search" ->
       """SELECT label, title, url, crawl_rank
         |FROM '/tmp/graft_oracle_tables/records/*.parquet'
@@ -309,6 +310,16 @@ object SparkEntry {
         |    ON r.variant = i.variant)
         |SELECT doc_id, variant_rank, arxiv_id FROM hits
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q49_youtube_api" ->
+      """SELECT source AS query,
+        |  substring(text, 1, 30) AS title,
+        |  substring(text, 1, 80) AS description,
+        |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS published_at,
+        |  'vid' || doc_id AS video_id
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY doc_id) AS rn FROM documents) t
+        |WHERE rn <= 3 ORDER BY query, video_id""".stripMargin,
     "q47_zotero_priority" ->
       """WITH items AS (
         |  SELECT doc_id, source, substring(text, 1, 40) AS title,

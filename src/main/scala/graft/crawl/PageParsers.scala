@@ -63,6 +63,9 @@ object PageParsers {
     case "icra"       => parseIcraProc(e, html)
     case "isca_index" => parseIscaIndex(e, html)
     case "isca"       => parseIscaYear(e, html)
+    case "icml"       => parseIcmlVolume(e, html)
+    case "cvf"        => parseCvfDay(e, html)
+    case "cvf_index"  => parseCvfIndex(e, html)
     case "repo"       => parseRepo(e, html)
     case _            => ParseResult(Vector.empty, Vector.empty)
   }
@@ -219,6 +222,58 @@ object PageParsers {
         e.crawlRank | i.toLong)
     }
     ParseResult(records, Vector.empty)
+  }
+
+  /** ICML/mlr.press volume page (conference/ICML.py:61-76): pdf links via
+    * the unescaped-dot lookaround regex; label = the title's year (the
+    * reference's `output_year` dir suffix), title = the downloaded file
+    * name; terminal.
+    */
+  private def parseIcmlVolume(e: FrontierEntry, html: String): ParseResult = {
+    val (year, items) = ConferenceExtract.parseIcmlProceedings(html)
+    val records = items.zipWithIndex.map { case (it, i) =>
+      CrawlRecord(it.downloadUrl, year, it.fileName, "", "", "", "icml",
+        e.crawlRank | i.toLong)
+    }
+    ParseResult(records, Vector.empty)
+  }
+
+  /** CVF open-access day page (openaccess.py:71-116): pdf links → records
+    * (download url + '/'-basename file name, label = the conference+year
+    * path segment — the reference's output/ctype/year layout). When the
+    * seed `?day=all` page has NO links, fall through to the conference
+    * INDEX page for the day list (openaccess.py:57-68: `if get_… return`
+    * else enumerate Day pages).
+    */
+  private def parseCvfDay(e: FrontierEntry, html: String): ParseResult = {
+    val items = ConferenceExtract.parseCvfPdfLinks(html)
+    if (items.isEmpty && e.pageIdx == 0) {
+      val q = e.url.indexOf('?')
+      val base = if (q >= 0) e.url.substring(0, q) else e.url
+      ParseResult(Vector.empty,
+        Vector(OutLink(base, "cvf_index", e.seed, e.depth + 1, 0, 0)))
+    } else {
+      val confYear = {
+        val path = e.url.substring(e.url.indexOf("//") + 2)
+        path.split("[/?]").lift(1).getOrElse("")
+      }
+      val records = items.zipWithIndex.map { case (it, i) =>
+        CrawlRecord(it.downloadUrl, confYear, it.fileName, "", "", "", "cvf",
+          e.crawlRank | i.toLong)
+      }
+      ParseResult(records, Vector.empty)
+    }
+  }
+
+  /** CVF conference index: the Day-page suffix list (openaccess.py:64) →
+    * one out-link per day page at depth+1.
+    */
+  private def parseCvfIndex(e: FrontierEntry, html: String): ParseResult = {
+    val links = ConferenceExtract.parseCvfDayPages(html).zipWithIndex.map {
+      case (suffix, i) =>
+        OutLink(e.url + suffix, "cvf", e.seed, e.depth + 1, i + 1, 0)
+    }
+    ParseResult(Vector.empty, links)
   }
 
   /** GitHub repo search (getrepository.py): page 0 is the driver page —

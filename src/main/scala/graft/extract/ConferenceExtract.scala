@@ -121,6 +121,105 @@ object ConferenceExtract {
       }
   }
 
+  // ---- ICML / mlr.press proceedings (conference/ICML.py) -----------------
+
+  /** The reference's volume enumeration (conference/ICML.py:20-23) — an
+    * R9-style generator source: type → volume ids → proceedings URLs.
+    */
+  val IcmlVolumes: Map[String, Vector[String]] = Map(
+    "ICML" -> Vector("184", "162", "139", "119", "97", "80", "70", "48",
+      "37", "32", "28", "27"),
+    "ACML" -> Vector("189", "157", "129", "101", "95", "77", "63", "45",
+      "39", "29", "25", "20", "13"),
+    "KDD" -> Vector("185", "150", "127", "104", "92", "71", "18", "7"))
+
+  def icmlVolumeUrls(tpe: String): Vector[String] =
+    IcmlVolumes(tpe).map(id => s"http://proceedings.mlr.press/v$id/")
+
+  final case class IcmlItem(downloadUrl: String, fileName: String)
+
+  // bug-compat: the reference's lookahead is `(?=.pdf" target="_blank)` —
+  // the DOT IS UNESCAPED, so any character followed by `pdf"` terminates
+  // the capture
+  private val IcmlLinkRe = Pattern.compile(
+    "(?<=href=\").+?(?=.pdf\" target=\"_blank)")
+  private val HtmlTitleRe = Pattern.compile("(?<=<title>).*?(?=</title>)")
+  private val Year4Re = Pattern.compile("\\b\\d{4}\\b")
+
+  /** GetPaper (conference/ICML.py:61-76): pdf-link prefixes via the
+    * lookaround regex; year = first 4-digit run of the `<title>`; per
+    * link: file name = last '/'-segment + ".pdf", download url = last
+    * '"'-segment + ".pdf" (the reference's split-on-quote guard).
+    */
+  def parseIcmlProceedings(content: String): (String, Vector[IcmlItem]) = {
+    val year = {
+      val tm = HtmlTitleRe.matcher(content)
+      if (tm.find()) {
+        val ym = Year4Re.matcher(tm.group())
+        if (ym.find()) ym.group() else ""
+      } else ""
+    }
+    val items = Vector.newBuilder[IcmlItem]
+    val m = IcmlLinkRe.matcher(content)
+    while (m.find()) {
+      val url = m.group()
+      items += IcmlItem(url.split('"').last + ".pdf",
+        url.split('/').last + ".pdf")
+    }
+    (year, items.result())
+  }
+
+  /** ICLR / openreview pdf links (conference/ICLR.py:62): hrefs between
+    * `/pdf` and the `pdf-link` class; download url prefixes
+    * https://openreview.net/pdf, file name = last '='-segment + ".pdf".
+    */
+  private val IclrLinkRe = Pattern.compile(
+    "(?<=href=\"/pdf).+?(?=\" class=\"pdf-link)")
+  def parseIclrPdfLinks(content: String): Vector[IcmlItem] = {
+    val out = Vector.newBuilder[IcmlItem]
+    val m = IclrLinkRe.matcher(content)
+    while (m.find()) {
+      val link = m.group()
+      out += IcmlItem("https://openreview.net/pdf" + link,
+        link.split('=').last + ".pdf")
+    }
+    out.result()
+  }
+
+  // ---- CVF open-access (conference/openaccess.py) ------------------------
+
+  /** Day-page suffixes (openaccess.py:64): the reference's alternation —
+    * an (empty-lookbehind) GREEDY `\?.+` ending before `">Day`, or a
+    * single-quoted href before `'>Day`. The greedy first branch runs to
+    * the LAST `">Day` on the line — bug-compat preserved.
+    */
+  private val CvfDayRe = Pattern.compile(
+    "\\?.+(?=\">Day)|(?<=href=').+(?='>Day)")
+  def parseCvfDayPages(content: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val m = CvfDayRe.matcher(content)
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Pdf links (openaccess.py:77): lazy capture between `href="`/`href='`
+    * and `">pdf`, required to end in `pdf`; download url prefixes the
+    * hardcoded site root, file name = last '/'-segment (openaccess.py:
+    * 96,106).
+    */
+  private val CvfPdfRe = Pattern.compile(
+    "(?<=href=\").+?pdf(?=\">pdf)|(?<=href=').+?pdf(?='>pdf)")
+  def parseCvfPdfLinks(content: String): Vector[IcmlItem] = {
+    val out = Vector.newBuilder[IcmlItem]
+    val m = CvfPdfRe.matcher(content)
+    while (m.find()) {
+      val url = m.group()
+      out += IcmlItem("http://openaccess.thecvf.com/" + url,
+        url.split('/').last)
+    }
+    out.result()
+  }
+
   // ---- GitHub repo search (getrepository.py) -----------------------------
 
   /** GetPageNum (getrepository.py:58-72): the pagination div is the first

@@ -358,6 +358,60 @@ object SyntheticWeb {
     s"""<html><body>$cards</body></html>"""
   }
 
+  /** ICML/mlr.press volume pages live on a synthetic `proceedings.mlr.press`
+    * host (the reference enumerates literal volume URLs, ICML.py:85); two
+    * volumes per h keep the fixture small.
+    */
+  def icmlVolumesPerHost = 2
+  def icmlVolumeUrl(h: Int, v: Int) =
+    s"http://proceedings.mlr.press/v${100 + h * icmlVolumesPerHost + v}/"
+
+  def icmlVolumeHtml(cfg: Config, h: Int, v: Int): String = {
+    val year = 2010 + (h * icmlVolumesPerHost + v) % 14
+    val items = (0 until cfg.itemsPerPage).map { i =>
+      val stem = s"p${h}v${v}x$i"
+      s"""[<a href="https://proceedings.mlr.press/v${100 + h}/$stem/$stem.pdf" target="_blank">pdf</a>]"""
+    }.mkString("\n")
+    s"""<html><head><title>Proceedings of Machine Learning Research $year</title></head>
+       |<body>$items</body></html>""".stripMargin
+  }
+
+  /** CVF open-access (openaccess.py): one conference-year per h on the
+    * literal thecvf host (the reference prefixes download urls with it).
+    * Even h: the `?day=all` page carries all pdf links (the fast branch);
+    * odd h: day=all is EMPTY and the index page lists day pages (the
+    * fallback branch, openaccess.py:57-68).
+    */
+  def cvfConf(h: Int): String =
+    Vector("CVPR", "ICCV", "WACV")(h % 3) + (2015 + h)
+  def cvfBaseUrl(h: Int) = s"http://openaccess.thecvf.com/${cvfConf(h)}"
+  def cvfDayAllUrl(h: Int) = s"${cvfBaseUrl(h)}?day=all"
+  def cvfDays = Vector("2024-06-19", "2024-06-20")
+
+  def cvfPdfLinksHtml(cfg: Config, h: Int, day: String): String =
+    (0 until cfg.itemsPerPage).map { i =>
+      val stem = s"${cvfConf(h)}_${day}_p$i"
+      s"""<dt><a href="content/${cvfConf(h)}/papers/$stem.pdf">pdf</a></dt>"""
+    }.mkString("\n")
+
+  def cvfDayAllHtml(cfg: Config, h: Int): String =
+    if (h % 2 == 1) """<html><body>No papers for day=all</body></html>"""
+    else s"""<html><body>
+            |${cvfPdfLinksHtml(cfg, h, "all")}
+            |</body></html>""".stripMargin
+
+  def cvfIndexHtml(cfg: Config, h: Int): String = {
+    val links = cvfDays.map(d =>
+      s"""<a href="?day=$d">Day $d</a>""").mkString("\n")
+    s"""<html><body>$links</body></html>"""
+  }
+
+  def cvfDayUrl(h: Int, d: String) = s"${cvfBaseUrl(h)}?day=$d"
+  def cvfDayHtml(cfg: Config, h: Int, d: String): String =
+    s"""<html><body>
+       |${cvfPdfLinksHtml(cfg, h, d)}
+       |</body></html>""".stripMargin
+
   def repoSearchUrl(h: Int) =
     s"https://github$h.example.org/search?type=repositories&q=q$h"
   def repoPageUrl(h: Int, p: Int) =
@@ -441,8 +495,17 @@ object SyntheticWeb {
         (1 to repoPagesPerHost(cfg)).map { p =>
           (repoPageUrl(h, p), "repo", h, p, 0, 0, "")
         }
+      val icml = (0 until icmlVolumesPerHost).map { v =>
+        (icmlVolumeUrl(h, v), "icml", h, v, 0, 0, "")
+      }
+      val cvf = Seq(
+        (cvfDayAllUrl(h), "cvf", h, 0, 0, 0, ""),
+        (cvfBaseUrl(h), "cvf_index", h, 0, 0, 0, "")) ++
+        cvfDays.zipWithIndex.map { case (d, di) =>
+          (cvfDayUrl(h, d), "cvf", h, di + 1, 0, 0, d)
+        }
       search ++ papers ++ blogs ++ cites ++ listing ++ arxivPapers ++
-        icra ++ isca ++ repo
+        icra ++ isca ++ repo ++ icml ++ cvf
     }
   }
 
@@ -459,6 +522,10 @@ object SyntheticWeb {
         case "icra"       => icraProcHtml(cfg, h, p)
         case "isca_index" => iscaIndexHtml(cfg, h)
         case "isca"       => iscaYearHtml(cfg, h, p)
+        case "icml"       => icmlVolumeHtml(cfg, h, p)
+        case "cvf" if p == 0 => cvfDayAllHtml(cfg, h)
+        case "cvf"        => cvfDayHtml(cfg, h, path)
+        case "cvf_index"  => cvfIndexHtml(cfg, h)
         case "repo" if p == 0 => repoMainHtml(cfg, h)
         case "repo"       => repoPageHtml(cfg, h, p)
         case _            => blogPageHtml(cfg, h, path, depth)
@@ -494,7 +561,16 @@ object SyntheticWeb {
       Seed(5 * cfg.nHosts + h, iscaIndexUrl(h), "isca_index", ""))
     val rp = (0 until cfg.nHosts).map(h =>
       Seed(6 * cfg.nHosts + h, repoSearchUrl(h), "repo", s"q$h"))
-    spark.createDataset(s ++ b ++ c ++ l ++ ic ++ is ++ rp)
+    // ICML: the reference enumerates volume URLs directly (no index page)
+    val im = (0 until cfg.nHosts).flatMap(h =>
+      (0 until icmlVolumesPerHost).map(v =>
+        Seed(7 * cfg.nHosts + h * icmlVolumesPerHost + v,
+          icmlVolumeUrl(h, v), "icml", "ICML")))
+    // CVF: the reference starts at the ?day=all page (openaccess.py:58)
+    val cv = (0 until cfg.nHosts).map(h =>
+      Seed(7 * cfg.nHosts + cfg.nHosts * icmlVolumesPerHost + h,
+        cvfDayAllUrl(h), "cvf", cvfConf(h)))
+    spark.createDataset(s ++ b ++ c ++ l ++ ic ++ is ++ rp ++ im ++ cv)
   }
 
   final case class Robots(host: String, disallow_prefixes: Seq[String],

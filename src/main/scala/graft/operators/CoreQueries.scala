@@ -283,6 +283,58 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** S5 (dataset/youtube.py:30-50): the YouTube search API as a JSON
+    * source — the engine-side semantics are (1) one JSON RESPONSE document
+    * per query, (2) schema'd parse of `items[].snippet.{title,
+    * description, publishedAt}` + `items[].id.videoId`, (3) flatten to
+    * one row per video. The response corpus is derived deterministically
+    * from `documents` (top-3 docs per source in doc order = the API's
+    * ranked items), built with `to_json` and parsed back with a typed
+    * `from_json` + explode — the real API client plumbing, minus the
+    * network. The DuckDB oracle computes the same rows relationally,
+    * checking the JSON round-trip is lossless.
+    */
+  def youtubeSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val items = t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("rn"),
+        struct(
+          struct(
+            substring(col("text"), 1, 30).as("title"),
+            substring(col("text"), 1, 80).as("description"),
+            concat(lit("2024-01-"),
+              lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+              .as("publishedAt")).as("snippet"),
+          struct(concat(lit("vid"), col("doc_id")).as("videoId")).as("id"))
+          .as("item"))
+    val responses = items.groupBy("source")
+      .agg(to_json(struct(
+        sort_array(collect_list(struct(col("rn"), col("item"))))
+          .getField("item").as("items"))).as("response_json"))
+    // ---- the parse side: typed schema, explode items, project fields ----
+    val schema = StructType(Seq(StructField("items", ArrayType(StructType(Seq(
+      StructField("snippet", StructType(Seq(
+        StructField("title", StringType),
+        StructField("description", StringType),
+        StructField("publishedAt", StringType)))),
+      StructField("id", StructType(Seq(
+        StructField("videoId", StringType))))))))))
+    responses
+      .select(col("source").as("query"),
+        explode(from_json(col("response_json"), schema).getField("items"))
+          .as("item"))
+      .select(col("query"),
+        col("item.snippet.title").as("title"),
+        col("item.snippet.description").as("description"),
+        col("item.snippet.publishedAt").as("published_at"),
+        col("item.id.videoId").as("video_id"))
+      .orderBy("query", "video_id")
+  }
+
   /** S7/O3 (util/file.py:30-33): numeric sort with lexicographic fallback
     * — order by the first integer embedded in the name, names without a
     * number after all numbered ones (Python sorts ints before its

@@ -93,7 +93,7 @@ object CrawlPipelines {
     */
   def conferenceRecords(s: SparkSession, dir: String): DataFrame =
     result(s).records
-      .filter(col("parser").isin("icra", "isca"))
+      .filter(col("parser").isin("icra", "isca", "icml", "cvf"))
       .select("parser", "url", "doi", "label", "title", "crawl_rank")
       .orderBy("crawl_rank")
 

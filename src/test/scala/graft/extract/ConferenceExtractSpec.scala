@@ -107,6 +107,68 @@ class ConferenceExtractSpec extends AnyFunSuite {
       ("proj_alice", "https://github.com/alice/proj"))
   }
 
+  test("ICML volume page: lookaround pdf links (UNESCAPED dot — any char " +
+    "before pdf\" terminates), year from <title>, split-derived names") {
+    val html =
+      """<html><head><title>Proceedings of MLR 2022</title></head><body>
+        |[<a href="https://proceedings.mlr.press/v162/abbas22b/abbas22b.pdf" target="_blank">pdf</a>]
+        |[<a href="https://proceedings.mlr.press/v162/xupdf" target="_blank">odd</a>]
+        |<a href="https://elsewhere/no.pdf">not a target blank</a>
+        |</body></html>""".stripMargin
+    val (year, items) = ConferenceExtract.parseIcmlProceedings(html)
+    assert(year == "2022")
+    assert(items.length == 2)
+    assert(items(0) == ConferenceExtract.IcmlItem(
+      "https://proceedings.mlr.press/v162/abbas22b/abbas22b.pdf",
+      "abbas22b.pdf"))
+    // the unescaped dot: "xupdf" ends with (any char)pdf ⇒ the capture
+    // stops at "x" — faithful to the reference's regex, garbage and all
+    assert(items(1).fileName == "x.pdf")
+    assert(ConferenceExtract.icmlVolumeUrls("KDD").head ==
+      "http://proceedings.mlr.press/v185/")
+  }
+
+  test("ICLR pdf links: /pdf…pdf-link lookaround, openreview prefix, " +
+    "id-derived file names") {
+    val html =
+      """<a href="/pdf?id=FPCMqjI0jXN" class="pdf-link" title="Download PDF"
+        | target="_blank"><img src="/images/pdf_icon_blue.svg"></a>
+        |<a href="/pdf?id=xYz2" class="pdf-link">x</a>
+        |<a href="/pdf?id=skip" class="other">no</a>""".stripMargin
+    val items = ConferenceExtract.parseIclrPdfLinks(html)
+    assert(items == Vector(
+      ConferenceExtract.IcmlItem("https://openreview.net/pdf?id=FPCMqjI0jXN",
+        "FPCMqjI0jXN.pdf"),
+      ConferenceExtract.IcmlItem("https://openreview.net/pdf?id=xYz2",
+        "xYz2.pdf")))
+  }
+
+  test("CVF open-access: pdf links via the href lookaround (double and " +
+    "single quoted), site-root download prefix, basename file names") {
+    val html =
+      """<dt><a href="content/CVPR2016/papers/He_Deep_paper.pdf">pdf</a></dt>
+        |<dt><a href='content/CVPR2016/papers/Alt_Quoted.pdf'>pdf</a></dt>
+        |<a href="content/CVPR2016/html/He_Deep.html">abs</a>""".stripMargin
+    val items = ConferenceExtract.parseCvfPdfLinks(html)
+    assert(items == Vector(
+      ConferenceExtract.IcmlItem(
+        "http://openaccess.thecvf.com/content/CVPR2016/papers/He_Deep_paper.pdf",
+        "He_Deep_paper.pdf"),
+      ConferenceExtract.IcmlItem(
+        "http://openaccess.thecvf.com/content/CVPR2016/papers/Alt_Quoted.pdf",
+        "Alt_Quoted.pdf")))
+  }
+
+  test("CVF day-page list: greedy ?-suffix before \">Day (per line), " +
+    "single-quote alternative") {
+    val html =
+      """<a href="?day=2024-06-19">Day 1</a>
+        |<a href='?day=2024-06-20'>Day 2</a>
+        |<a href="?other=x">Not a day</a>""".stripMargin
+    assert(ConferenceExtract.parseCvfDayPages(html) ==
+      Vector("?day=2024-06-19", "?day=2024-06-20"))
+  }
+
   test("Atom first-entry id: entry[0] wins over later entries and decoys " +
     "outside entries; non-abs ids and empty feeds yield None") {
     val xml =
