@@ -253,63 +253,63 @@ object SparkEntry {
     // (the crawl itself is sbt-test-verified against the sequential
     // simulator; these check every AGGREGATION over its outputs)
     "q40_crawl_flagship" ->
-      """SELECT url, label, title, abstract_text, crawl_rank
-        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+      s"""SELECT url, label, title, abstract_text, crawl_rank
+        |FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |ORDER BY crawl_rank""".stripMargin,
     "q41_crawl_digest" ->
-      """SELECT crawl_rank >> 50 AS seed, count(*) AS n_papers,
+      s"""SELECT crawl_rank >> 50 AS seed, count(*) AS n_papers,
         |  CAST(sum(length(extracted_md)) AS BIGINT) AS digest_len
-        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |WHERE extracted_md <> '' GROUP BY 1 ORDER BY seed""".stripMargin,
     "q42_crawl_label_counts" ->
-      """SELECT label, count(*) AS n
-        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+      s"""SELECT label, count(*) AS n
+        |FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |WHERE label <> '' GROUP BY label ORDER BY label""".stripMargin,
     "q43_crawl_host_metrics" ->
-      """SELECT host, wave, count(*) AS fetches,
+      s"""SELECT host, wave, count(*) AS fetches,
         |  CAST(sum(CASE WHEN status=200 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
         |  CAST(sum(CASE WHEN status=503 THEN 1 ELSE 0 END) AS BIGINT) AS retryable,
         |  CAST(sum(CASE WHEN status=404 THEN 1 ELSE 0 END) AS BIGINT) AS missing
-        |FROM '/tmp/graft_oracle_tables/fetch_log/*.parquet'
+        |FROM '${CrawlPipelines.OracleDumpDir}/fetch_log/*.parquet'
         |GROUP BY host, wave ORDER BY host, wave""".stripMargin,
     "q44_crawl_citations" ->
-      """SELECT label AS id, title, url
-        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+      s"""SELECT label AS id, title, url
+        |FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |WHERE parser = 'cite' ORDER BY id, url""".stripMargin,
     "q45_listing_digest" ->
-      """WITH listings AS (
+      s"""WITH listings AS (
         |  SELECT crawl_rank >> 50 AS seed, title AS date
-        |  FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |  FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |  WHERE label = 'listing'),
         |papers AS (
         |  SELECT crawl_rank >> 50 AS seed, count(*) AS n_papers,
         |    CAST(sum(length(extracted_md)) AS BIGINT) AS digest_len
-        |  FROM '/tmp/graft_oracle_tables/records/*.parquet'
+        |  FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |  WHERE url LIKE 'https://arxiv.org/%' GROUP BY 1)
         |SELECT l.seed, l.date, coalesce(p.n_papers, 0) AS n_papers,
         |  coalesce(p.digest_len, 0) AS digest_len
         |FROM listings l LEFT JOIN papers p ON l.seed = p.seed
         |ORDER BY l.seed""".stripMargin,
     "q46_conference_records" ->
-      """SELECT parser, url, doi, label, title, crawl_rank
-        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+      s"""SELECT parser, url, doi, label, title, crawl_rank
+        |FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |WHERE parser IN ('icra', 'isca', 'icml', 'cvf') ORDER BY crawl_rank""".stripMargin,
     "q48_repo_search" ->
-      """SELECT label, title, url, crawl_rank
-        |FROM '/tmp/graft_oracle_tables/records/*.parquet'
+      s"""SELECT label, title, url, crawl_rank
+        |FROM '${CrawlPipelines.OracleDumpDir}/records/*.parquet'
         |WHERE parser = 'repo' ORDER BY crawl_rank""".stripMargin,
     "q28_api_lookup" ->
-      """WITH hits AS (
+      ("""WITH hits AS (
         |  SELECT r.doc_id, r.variant_rank,
         |    regexp_extract(i.atom_xml, 'arxiv\.org/abs/(\d+\.\d+)', 1)
         |      AS arxiv_id,
         |    row_number() OVER (PARTITION BY r.doc_id ORDER BY r.variant_rank)
         |      AS rn
-        |  FROM '/tmp/graft_oracle_tables/api_requests/*.parquet' r
-        |  JOIN '/tmp/graft_oracle_tables/api_index/*.parquet' i
+        |  FROM '""" + CrawlPipelines.OracleDumpDir + """/api_requests/*.parquet' r
+        |  JOIN '""" + CrawlPipelines.OracleDumpDir + """/api_index/*.parquet' i
         |    ON r.variant = i.variant)
         |SELECT doc_id, variant_rank, arxiv_id FROM hits
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |WHERE rn = 1 ORDER BY doc_id""").stripMargin,
     "q49_youtube_api" ->
       """SELECT source AS query,
         |  substring(text, 1, 30) AS title,

@@ -118,12 +118,8 @@ object CrawlLoop extends Serializable {
       seed, depth, pageIdx, posInPage, attempts)
   }
 
-  def pathOf(url: String): String = {
-    val i = url.indexOf("://")
-    val rest = if (i >= 0) url.substring(i + 3) else url
-    val j = rest.indexOf('/')
-    if (j >= 0) rest.substring(j) else "/"
-  }
+  /** See [[graft.url.UrlCanon.pathOf]] — the one shared definition. */
+  def pathOf(url: String): String = UrlCanon.pathOf(url)
 
   /** Run the crawl from seeds to empty frontier (or maxWaves). `pages` must
     * be the input_hint-shaped table (ignored when `cfg.pagesTable` points
@@ -147,22 +143,11 @@ object CrawlLoop extends Serializable {
         case None => true
       }
     // the "join"-path twin of allowedRow: broadcast-join admission filter
-    // over FrontierEntry-shaped frames; robots never transits the driver
-    def allowedDf(df: DataFrame): DataFrame = {
-      val noScheme = regexp_replace(col("url"), "^[a-z]+://", "")
-      val p0 = regexp_extract(noScheme, "(/.*)$", 1)
-      df.join(broadcast(robots.toDF()
-          .select(col("host"), col("disallow_prefixes"))), Seq("host"), "left")
-        .withColumn("__path", when(p0 === "", "/").otherwise(p0))
-        .filter(col("disallow_prefixes").isNull ||
-          !exists(col("disallow_prefixes"),
-            pre => col("__path").startsWith(pre)))
-        .drop("disallow_prefixes", "__path")
-        .select("url", "urlHash", "host", "kind", "seed", "depth", "pageIdx",
-          "posInPage", "attempts")
-    }
+    // over FrontierEntry-shaped frames (PoliteScheduler.admitJoin — robots
+    // never transits the driver)
     def admit(df: Dataset[FrontierEntry]): Dataset[FrontierEntry] =
-      if (useRobotsJoin) allowedDf(df.toDF()).as[FrontierEntry]
+      if (useRobotsJoin)
+        PoliteScheduler.admitJoin(df.toDF(), robots).as[FrontierEntry]
       else df.filter(allowedRow _)
 
     // pages side of the fetch join: bucketed table (NO shuffle, NO cache —
@@ -186,7 +171,8 @@ object CrawlLoop extends Serializable {
         (0, admit(seeds.map(s => entryOf(s.url, s.site, s.seed_id, 0, 0, 0))))
     }
 
-    def seenUnion(): DataFrame = readDeltas(spark, store, "seen_w")
+    def seenUnion(): DataFrame = readDeltas(spark, store, "seen_w",
+      spark.range(0).select(col("id").as("url_hash")))
 
     var frontier = frontier0
     var seen: DataFrame =
@@ -216,15 +202,23 @@ object CrawlLoop extends Serializable {
     var wave = startWave
     while (frontierCount > 0 && wave < cfg.maxWaves) {
       val waveStart = wave.toLong * 1000000L
-      val sched: Dataset[Scheduled] =
-        if (useRobotsJoin)
+      // schedulerImpl × robotsImpl dispatch: the scheduler choice (typed
+      // Aggregator top-k vs window twin) is orthogonal to where robots
+      // live (driver map vs broadcast join) — all four combinations
+      // produce the identical wave (SchedulerSpec / CrawlLoopSpec)
+      val sched: Dataset[Scheduled] = (cfg.schedulerImpl, useRobotsJoin) match {
+        case ("sql", true) =>
           PoliteScheduler.scheduleJoinSql(frontier, robots, waveStart,
             cfg.scheduler)
-        else if (cfg.schedulerImpl == "sql")
+        case (_, true) =>
+          PoliteScheduler.scheduleJoinAgg(frontier, robots, waveStart,
+            cfg.scheduler)
+        case ("sql", false) =>
           PoliteScheduler.scheduleSql(frontier, robots, waveStart, cfg.scheduler)
-        else
+        case _ =>
           PoliteScheduler.scheduleWithMap(frontier, robotsMap, waveStart,
             cfg.scheduler)
+      }
 
       // fetch = equi-join against the pages table (left: missing ⇒ 404).
       // TOP-LEVEL url_hash join keys on both sides, so a bucketed pages
@@ -372,18 +366,26 @@ object CrawlLoop extends Serializable {
     }
 
     if (cfg.pagesTable.isEmpty) pagesKeyed.unpersist()
-    Result(readDeltas(spark, store, "records_w"),
-      readDeltas(spark, store, "fetch_log_w"), seenUnion(), wave)
+    // typed empty fallbacks: a crawl where no wave ever committed (all
+    // seeds robots-disallowed, maxWaves = 0) must still return frames
+    // with the documented schemas, not a column-less emptyDataFrame
+    Result(
+      readDeltas(spark, store, "records_w",
+        spark.emptyDataset[PageParsers.CrawlRecord].toDF()),
+      readDeltas(spark, store, "fetch_log_w",
+        spark.emptyDataset[FetchLogRow].toDF()),
+      seenUnion(),
+      wave)
   }
 
   /** Union all per-wave delta tables recorded across snapshots. */
   private def readDeltas(spark: SparkSession, store: SnapshotStore,
-      prefix: String): DataFrame = {
+      prefix: String, empty: => DataFrame): DataFrame = {
     val paths = store.snapshots.flatMap { id =>
       val snap = store.readManifest(id)
       snap.tables.collect { case (name, path) if name.startsWith(prefix) => path }
     }.distinct
     paths.map(spark.read.parquet(_)).reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(empty)
   }
 }

@@ -288,16 +288,21 @@ object SyntheticWeb {
     * (conference/ICRA.py:76), exactly like the listing family's literal
     * arxiv.org.
     */
-  def icraProcUrl(h: Int, p: Int) = s"https://www.iaarc.org/pub_h${h}_y$p"
+  /** p == 1 proceedings URLs carry an `&sort=year` suffix so the index's
+    * `&amp;`-escaped href MUST be unescaped (ICRA.py:76) to resolve — a
+    * broken unescape would 404 that page and drop its records, which the
+    * CrawlLoopSpec record contract and q46 then catch.
+    */
+  def icraProcPath(h: Int, p: Int): String =
+    if (p == 1) s"/pub_h${h}_y$p&sort=year" else s"/pub_h${h}_y$p"
+  def icraProcUrl(h: Int, p: Int) =
+    s"https://www.iaarc.org${icraProcPath(h, p)}"
   def icraYear(p: Int): Int = 2014 + p
 
-  /** ICRA index: `/pub…` hrefs, one with `&amp;` to exercise the unescape
-    * fixup (ICRA.py:76).
-    */
   def icraIndexHtml(cfg: Config, h: Int): String = {
     val links = (0 until icraProcsPerHost).map { p =>
-      val extra = if (p == 1) "&amp;sort=year" else ""
-      s"""<a href="/pub_h${h}_y$p$extra">ISARC ${icraYear(p)}</a>"""
+      val href = icraProcPath(h, p).replace("&", "&amp;")
+      s"""<a href="$href">ISARC ${icraYear(p)}</a>"""
     }.mkString("\n")
     s"""<html><body><div class="pubs">\n$links\n</div></body></html>"""
   }

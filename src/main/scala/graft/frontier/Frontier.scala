@@ -109,12 +109,7 @@ object PoliteScheduler {
     val allowed = frontier.filter { e =>
       bc.value.get(e.host) match {
         case Some((prefixes, _)) =>
-          val path = {
-            val i = e.url.indexOf("://")
-            val rest = if (i >= 0) e.url.substring(i + 3) else e.url
-            val j = rest.indexOf('/')
-            if (j >= 0) rest.substring(j) else "/"
-          }
+          val path = graft.url.UrlCanon.pathOf(e.url)
           !prefixes.exists(path.startsWith)
         case None => true
       }
@@ -126,6 +121,54 @@ object PoliteScheduler {
       .agg(agg.name("picked"))
       .flatMap { case (host, picked) =>
         val delay = bc.value.get(host).map(_._2).getOrElse(defaultDelay)
+        picked.zipWithIndex.map { case (e, slot) =>
+          Scheduled(e, slot, waveStartMs + slot * delay)
+        }
+      }
+  }
+
+  /** Robots ADMISSION as a broadcast join over a FrontierEntry-shaped
+    * frame (the 10^8-host path where a driver-collected robots map would
+    * OOM): keep rows whose path matches no disallow prefix of their host.
+    * The path expression is [[graft.url.UrlCanon.pathCol]] — the single
+    * shared definition with the row-side `pathOf` twin.
+    */
+  def admitJoin(df: org.apache.spark.sql.DataFrame,
+      robots: Dataset[Robots]): org.apache.spark.sql.DataFrame =
+    df.join(broadcast(robots.toDF()
+        .select(col("host"), col("disallow_prefixes"))), Seq("host"), "left")
+      .withColumn("__path", graft.url.UrlCanon.pathCol(col("url")))
+      .filter(col("disallow_prefixes").isNull ||
+        !exists(col("disallow_prefixes"),
+          pre => col("__path").startsWith(pre)))
+      .drop("disallow_prefixes", "__path")
+      .select("url", "urlHash", "host", "kind", "seed", "depth", "pageIdx",
+        "posInPage", "attempts")
+
+  /** Robots-as-a-TABLE twin of [[scheduleWithMap]] (the "agg" scheduler
+    * under `robotsImpl = "join"`): admission via [[admitJoin]], the same
+    * map-side bounded [[TopKByRank]] pick, then per-host crawl delays
+    * joined from the broadcast robots table — robots never transits the
+    * driver AND the hot-host pre-shuffle bound is preserved. Identical
+    * waves to the map variant (SchedulerSpec).
+    */
+  def scheduleJoinAgg(frontier: Dataset[FrontierEntry], robots: Dataset[Robots],
+      waveStartMs: Long, cfg: Config = Config()): Dataset[Scheduled] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val allowed = admitJoin(frontier.toDF(), robots).as[FrontierEntry]
+    val agg = new TopKByRank(cfg.hostBudget).toColumn
+    val defaultDelay = cfg.defaultDelayMs
+    allowed
+      .groupByKey(_.host)
+      .agg(agg.name("picked"))
+      .toDF("host", "picked")
+      .join(broadcast(robots.toDF()
+        .select(col("host"), col("crawl_delay_ms"))), Seq("host"), "left")
+      .select(col("picked"),
+        coalesce(col("crawl_delay_ms"), lit(defaultDelay)).as("delay"))
+      .as[(Seq[FrontierEntry], Long)]
+      .flatMap { case (picked, delay) =>
         picked.zipWithIndex.map { case (e, slot) =>
           Scheduled(e, slot, waveStartMs + slot * delay)
         }
@@ -147,16 +190,11 @@ object PoliteScheduler {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
-    val path = {
-      val noScheme = regexp_replace(col("url"), "^[a-z]+://", "")
-      val p = regexp_extract(noScheme, "(/.*)$", 1)
-      when(p === "", "/").otherwise(p)
-    }
     val rob = robots.toDF()
       .select(col("host"), col("disallow_prefixes"), col("crawl_delay_ms"))
     val allowed = frontier.toDF()
       .join(broadcast(rob), Seq("host"), "left")
-      .withColumn("__path", path)
+      .withColumn("__path", graft.url.UrlCanon.pathCol(col("url")))
       .filter(col("disallow_prefixes").isNull ||
         !exists(col("disallow_prefixes"),
           pre => col("__path").startsWith(pre)))
@@ -201,12 +239,7 @@ object PoliteScheduler {
     val allowed = frontier.filter { e =>
       bc.value.get(e.host) match {
         case Some((prefixes, _)) =>
-          val p = {
-            val i = e.url.indexOf("://")
-            val rest = if (i >= 0) e.url.substring(i + 3) else e.url
-            val j = rest.indexOf('/')
-            if (j >= 0) rest.substring(j) else "/"
-          }
+          val p = graft.url.UrlCanon.pathOf(e.url)
           !prefixes.exists(p.startsWith)
         case None => true
       }

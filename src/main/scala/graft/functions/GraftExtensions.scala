@@ -40,19 +40,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intLit(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  /** Extract an integer LITERAL argument; a column or non-integer value
+    * gets an analysis-time error naming the function, not an eval NPE.
+    */
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal
+        if lit.value != null && lit.value.isInstanceOf[Number] =>
+      lit.value.asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects integer literal parameters, got: ${e.sql}")
+  }
 
   /** word_shingles(text[, n=3]) */
   def shinglesBuilder(children: Seq[Expression]): Expression =
     WordShingles(children.head,
-      if (children.length > 1) intLit(children(1)) else 3)
+      if (children.length > 1) intLit("word_shingles", children(1)) else 3)
 
   /** minhash_bands(shingles[, k=32, bands=8]) */
   def minhashBuilder(children: Seq[Expression]): Expression =
     MinhashBands(children.head,
-      if (children.length > 1) intLit(children(1)) else 32,
-      if (children.length > 2) intLit(children(2)) else 8)
+      if (children.length > 1) intLit("minhash_bands", children(1)) else 32,
+      if (children.length > 2) intLit("minhash_bands", children(2)) else 8)
 
   /** Install the same functions on an already-built session (temp
     * functions) — for hosts that construct the SparkSession themselves.

@@ -48,8 +48,12 @@ object TextKernels extends Serializable {
     s.substring(i, j)
   }
 
+  // lower() FIRST via UTF8String.toLowerCase — the exact code path of
+  // Spark's Lower expression, so non-ASCII case folding (İ, ß, …) matches
+  // the HOF pipeline and the q21 oracle bit-for-bit (Java's
+  // String.toLowerCase(Locale.ROOT) diverges on those)
   private def words(text: UTF8String): Array[String] =
-    Ws.split(trimSpaces(text.toString).toLowerCase(java.util.Locale.ROOT))
+    Ws.split(trimSpaces(text.toLowerCase.toString))
 
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val ws = words(text)
@@ -154,6 +158,14 @@ final case class MinhashBands(child: Expression, k: Int, bands: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if bands <= 0 || k <= 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands requires k > 0 and bands > 0 (got k=$k, bands=$bands)")
+    case _ if k % bands != 0 =>
+      // a non-dividing band count would SILENTLY drop the k % bands tail
+      // slots from every band hash — reject at analysis, not at eval
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands requires bands to divide k (got k=$k, bands=$bands)")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure("minhash_bands requires array<string>")

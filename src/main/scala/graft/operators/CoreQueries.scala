@@ -253,7 +253,7 @@ object CoreQueries {
     * the DuckDB side re-runs the join + first-variant pick + XML id
     * extraction independently over these files.
     */
-  val ApiDumpDir = "/tmp/graft_oracle_tables"
+  val ApiDumpDir: String = CrawlPipelines.OracleDumpDir
   def dumpApiTables(s: SparkSession, dir: String): Unit = {
     apiRequests(s, dir).coalesce(1).write.mode("overwrite")
       .parquet(s"$ApiDumpDir/api_requests")

@@ -146,6 +146,26 @@ object UrlCanon {
   def hostOf(url: String): String =
     if (url == null) "" else parse(url.trim).host.toLowerCase
 
+  /** Path (incl. leading '/') of a URL; "/" when rootless. The SINGLE
+    * definition behind every robots path-prefix match — the column twin
+    * is [[pathCol]]; keeping them adjacent is what keeps the row-side and
+    * join-side robots decisions from drifting.
+    */
+  def pathOf(url: String): String = {
+    val i = url.indexOf("://")
+    val rest = if (i >= 0) url.substring(i + 3) else url
+    val j = rest.indexOf('/')
+    if (j >= 0) rest.substring(j) else "/"
+  }
+
+  /** Column twin of [[pathOf]] for the broadcast-join robots path. */
+  def pathCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val noScheme = regexp_replace(url, "^[a-z]+://", "")
+    val p = regexp_extract(noScheme, "(/.*)$", 1)
+    when(p === "", "/").otherwise(p)
+  }
+
   /** RFC 3986 §5.2.2 reference resolution — semantics of Python's
     * urljoin (reference: text/architectural_119.py:137,150,212,216).
     */

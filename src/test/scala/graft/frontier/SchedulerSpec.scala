@@ -33,17 +33,26 @@ class SchedulerSpec extends AnyFunSuite with BeforeAndAfterAll {
       SyntheticWeb.Robots("h2.example.org", Seq.empty, 500L)))
   }
 
-  test("aggregator and window schedulers produce the identical wave") {
+  test("all four scheduler variants (agg/sql × robots map/join) produce " +
+    "the identical wave") {
     import spark.implicits._
     val frontier = spark.createDataset(mkFrontier(500))
     for (budget <- Seq(1, 3, 64, 1000)) {
       val cfg = PoliteScheduler.Config(hostBudget = budget,
         defaultDelayMs = 1000L)
-      val a = PoliteScheduler.schedule(frontier, robots, 7000L, cfg)
-        .collect().map(s => (s.entry, s.slot, s.notBefore)).sortBy(_._1.urlHash)
-      val b = PoliteScheduler.scheduleSql(frontier, robots, 7000L, cfg)
-        .collect().map(s => (s.entry, s.slot, s.notBefore)).sortBy(_._1.urlHash)
-      assert(a.toSeq == b.toSeq, s"wave mismatch at budget=$budget")
+      def norm(w: Array[Scheduled]) =
+        w.map(s => (s.entry, s.slot, s.notBefore)).sortBy(_._1.urlHash).toSeq
+      val a = norm(PoliteScheduler.schedule(frontier, robots, 7000L, cfg)
+        .collect())
+      val b = norm(PoliteScheduler.scheduleSql(frontier, robots, 7000L, cfg)
+        .collect())
+      val c = norm(PoliteScheduler.scheduleJoinAgg(frontier, robots, 7000L, cfg)
+        .collect())
+      val d = norm(PoliteScheduler.scheduleJoinSql(frontier, robots, 7000L, cfg)
+        .collect())
+      assert(a == b, s"agg vs sql mismatch at budget=$budget")
+      assert(a == c, s"agg vs join-agg mismatch at budget=$budget")
+      assert(a == d, s"agg vs join-sql mismatch at budget=$budget")
     }
   }
 
