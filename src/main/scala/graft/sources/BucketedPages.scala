@@ -35,6 +35,12 @@ object BucketedPages {
     val w = pages
       // native codegen expression, not a UDF — this is a full corpus map
       .withColumn("url_hash", graft.url.UrlCols.urlHash64(col("url")))
+      // repartition INTO the bucket hash first: bucketBy writes one file
+      // per (task, bucket), and Spark only elides the join-side Sort when
+      // each bucket is a SINGLE sorted file — this is the write-time cost
+      // that buys the per-wave sort away (repartition's HashPartitioning
+      // is the same murmur3(url_hash) % n the bucket assignment uses)
+      .repartition(nBuckets, col("url_hash"))
       .write
       .bucketBy(nBuckets, "url_hash")
       .sortBy("url_hash")
