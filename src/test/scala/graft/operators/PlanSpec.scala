@@ -71,8 +71,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Batched: true"))
   }
 
-  test("minhash LSH: no cartesian; the band bucket join is an equi-join") {
+  test("minhash LSH: no cartesian; the band bucket join is an equi-join; " +
+    "shingles/banding run inside codegen (no ScalaUDF, no HOF lambdas)") {
     val p = plan(DedupQueries.minhashLsh(spark, dir))
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"), s"UDF in the dedup hot path:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted HOF lambda in the dedup hot path:\n$p")
+  }
+
+  test("ngram jaccard: pair generation is explode-based — NO self-join of " +
+    "the inverted index, no cartesian, no UDF") {
+    val p = plan(DedupQueries.ngramJaccard(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    // the posting-list pair path: only the final size-lookup joins remain,
+    // and they broadcast
+    assert(p.contains("Generate explode"), s"no explode pair-gen in:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the dedup hot path:\n$p")
+  }
+
+  test("simhash pairs: the signature is a codegen expression, not a UDF") {
+    val p = plan(DedupQueries.simhashPairs(spark, dir))
+    assert(!p.contains("ScalaUDF"), s"UDF in simhash path:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("zotero priority dedup: aggregation-based sectioning — no window " +
+    "over the whole corpus, no cartesian") {
+    val p = plan(CoreQueries.zoteroPriorityDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), s"unexpected window in:\n$p")
+  }
+
+  test("youtube api parse: one shuffle pair (the per-source grouping), " +
+    "JSON round-trip stays in codegen projections") {
+    val p = plan(CoreQueries.youtubeSearch(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("*("), s"no codegen span in:\n$p")
   }
 }
