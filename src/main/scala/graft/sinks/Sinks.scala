@@ -75,6 +75,28 @@ object Sinks {
       element_at(split(url, "/"), -1).as("file_name"),
       payload.as("payload"))
 
+  /** K6 (process sink): the reference shells out one command per row —
+    * `os.system("cd out/page_i && git clone --recursive <url> <name>&")`
+    * (getrepository.py:157,178) and `os.system(f'yt-dlp <url> -o
+    * <dir>/<id>.mp4')` (dataset/youtube.py:73-74). The TESTABLE contract
+    * is the command BYTES; generation is a distributed projection, and
+    * execution — inherently environment-side — is
+    * `ds.foreachPartition(_.foreach(cmd => Runtime.exec(...)))` on a
+    * cluster with the tools installed (never run in this sandbox).
+    */
+  def gitCloneCommands(df: DataFrame, outputDir: Column, pageDir: Column,
+      url: Column, name: Column): DataFrame =
+    df.select(concat(
+      lit("cd "), concat_ws("/", outputDir, pageDir),
+      lit(" && git clone --recursive "), url, lit(" "), name, lit("&"))
+      .as("command"))
+
+  def ytDlpCommands(df: DataFrame, outputDir: Column, videoId: Column): DataFrame =
+    df.select(concat(
+      lit("yt-dlp https://www.youtube.com/watch?v="), videoId,
+      lit(" -o "), concat_ws("/", outputDir, concat(videoId, lit(".mp4"))))
+      .as("command"))
+
   /** K7 (arxiv.py:178-184 / getrepository.py save): timestamped XML dump —
     * file name `YYYYMMDD-HHMMSS .xml` (the reference's strftime pattern
     * ends with a literal SPACE before the extension) opened in APPEND mode.

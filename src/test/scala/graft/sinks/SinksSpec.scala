@@ -70,6 +70,24 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getString(1) == "2401.123v2")
   }
 
+  test("K6 process-sink command generation: byte-exact git-clone and " +
+    "yt-dlp lines (getrepository.py:178, youtube.py:74)") {
+    import spark.implicits._
+    val repos = Seq(("page_0", "https://github.com/alice/proj", "proj_alice"))
+      .toDF("page", "url", "name")
+    val git = Sinks.gitCloneCommands(repos, lit("out"), $"page", $"url",
+      $"name").as[String].collect()
+    assert(git.toSeq == Seq(
+      "cd out/page_0 && git clone --recursive " +
+        "https://github.com/alice/proj proj_alice&"))
+    val vids = Seq("dQw4w9WgXcQ").toDF("video_id")
+    val yt = Sinks.ytDlpCommands(vids, lit("videos"), $"video_id")
+      .as[String].collect()
+    assert(yt.toSeq == Seq(
+      "yt-dlp https://www.youtube.com/watch?v=dQw4w9WgXcQ " +
+        "-o videos/dQw4w9WgXcQ.mp4"))
+  }
+
   test("K7 timestamped XML dump: strftime name with the trailing space " +
     "before .xml; append mode accumulates within the same second") {
     val dir = java.nio.file.Files.createTempDirectory("k7").toString
