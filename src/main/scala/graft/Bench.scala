@@ -189,6 +189,29 @@ object Bench {
       val crawlUrls = crawlRes.fetchLog.count()
       results("crawl_end_to_end_sec") = crawlSec
       results("crawl_end_to_end_urls_per_sec") = crawlUrls / crawlSec
+
+      // the same loop at 4× the items per page: wave count stays the
+      // same (depth-bound), the per-wave FIXED cost (4 jobs) stays the
+      // same, so throughput should rise with wave size — the direct
+      // evidence for the "overhead amortizes into the data plane" claim
+      val webCfg4x = webCfg.copy(itemsPerPage = webCfg.itemsPerPage * 4)
+      BucketedPages.write(spark, SyntheticWeb.pages(spark, webCfg4x),
+        "bench_crawl_pages_4x", nBuckets = 32,
+        path = Some(java.nio.file.Files
+          .createTempDirectory("bench-crawl-pages4x").toString + "/t"))
+      val (crawlRes4x, crawlSec4x) = time {
+        val dir = java.nio.file.Files.createTempDirectory("bench-crawl4x")
+        CrawlLoop.run(spark, spark.emptyDataFrame,
+          SyntheticWeb.seeds(spark, webCfg4x),
+          SyntheticWeb.robots(spark, webCfg4x),
+          new graft.store.SnapshotStore(dir.toString, spark),
+          CrawlLoop.Config(scheduler =
+            PoliteScheduler.Config(hostBudget = 8192, defaultDelayMs = 1L),
+            maxWaves = 24, pagesTable = Some("bench_crawl_pages_4x")))
+      }
+      val crawlUrls4x = crawlRes4x.fetchLog.count()
+      results("crawl_end_to_end_4x_sec") = crawlSec4x
+      results("crawl_end_to_end_4x_urls_per_sec") = crawlUrls4x / crawlSec4x
     }
 
     // ---- phase 3: wave + parse pipelines at three parallelism levels ----
