@@ -36,16 +36,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_e4"),
+      new ExpressionInfo(classOf[CosineE4].getName, "cosine_e4"),
+      (children: Seq[Expression]) => CosineE4(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rhp_sig64"),
+      new ExpressionInfo(classOf[RhpSig64].getName, "rhp_sig64"),
+      (children: Seq[Expression]) => GraftExtensions.rhpSigBuilder(children)))
   }
 }
 
 object GraftExtensions {
-  /** Extract an integer LITERAL argument; a column or non-integer value
-    * gets an analysis-time error naming the function, not an eval NPE.
+  /** Extract an integer LITERAL argument; a column, a non-number, or a
+    * FRACTIONAL number (2.9 would otherwise silently truncate to 2) gets
+    * an analysis-time error naming the function, not an eval NPE.
     */
   private def intLit(fn: String, e: Expression): Int = e match {
     case lit: org.apache.spark.sql.catalyst.expressions.Literal
-        if lit.value != null && lit.value.isInstanceOf[Number] =>
+        if lit.value != null && lit.value.isInstanceOf[Number] &&
+          lit.value.asInstanceOf[Number].doubleValue() ==
+            lit.value.asInstanceOf[Number].intValue().toDouble =>
       lit.value.asInstanceOf[Number].intValue()
     case _ => throw new IllegalArgumentException(
       s"$fn expects integer literal parameters, got: ${e.sql}")
@@ -62,6 +73,11 @@ object GraftExtensions {
       if (children.length > 1) intLit("minhash_bands", children(1)) else 32,
       if (children.length > 2) intLit("minhash_bands", children(2)) else 8)
 
+  /** rhp_sig64(vec[, nBits=8]) */
+  def rhpSigBuilder(children: Seq[Expression]): Expression =
+    RhpSig64(children.head,
+      if (children.length > 1) intLit("rhp_sig64", children(1)) else 8)
+
   /** Install the same functions on an already-built session (temp
     * functions) — for hosts that construct the SparkSession themselves.
     */
@@ -77,5 +93,8 @@ object GraftExtensions {
       minhashBuilder)
     ColumnBridge.registerTempFunction(spark, "simhash64",
       children => SimHash64(children.head))
+    ColumnBridge.registerTempFunction(spark, "cosine_e4",
+      children => CosineE4(children.head, children(1)))
+    ColumnBridge.registerTempFunction(spark, "rhp_sig64", rhpSigBuilder)
   }
 }

@@ -142,7 +142,10 @@ object TextKernels extends Serializable {
 final case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      // n <= 0 would pass analysis and then throw AIOOBE in executors
+      s"word_shingles requires n >= 1 (got n=$n)")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("word_shingles requires a string argument")
   override def nullSafeEval(input: Any): Any =
     TextKernels.shingles(input.asInstanceOf[UTF8String], n)

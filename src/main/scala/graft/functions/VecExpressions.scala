@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expressions for the embedding similarity hot path
+  * (q24/q25/q26), with `doGenCode` — the vector twin of [[TextKernels]].
+  *
+  * Why these exist: the higher-order-function formulation
+  * (`zip_with` + `aggregate` lambdas) is NOT whole-stage-codegen'd — each
+  * element is an interpreted Expression eval with per-element boxing, and
+  * the cosine needs THREE such folds per candidate pair (dot + two norms).
+  * On the near-dup path every blocked pair pays that; on the ANN paths
+  * every candidate does. These kernels run the whole 64-lane loop as one
+  * JIT-compiled call inside the surrounding codegen stage.
+  *
+  * `CosineE4(a, b)` : array<float> × array<float> → floor(cosine·10⁴) as
+  *                    long — bit-identical to the HOF pipeline it replaces
+  *                    (same double-cast lanes, same index-order summation,
+  *                    same `(long) Math.floor` discretization), so the
+  *                    DuckDB oracles for q24/q25 stay hash-green.
+  * `RhpSig64(v, n)` : array<float> → n-bit random-hyperplane signature —
+  *                    bit-identical to the `xxhash64(lit(j), i)`-derived
+  *                    HOF signature (VecExpressionsSpec pins both twins).
+  *
+  * Registered as SQL functions `cosine_e4` / `rhp_sig64` by
+  * [[GraftExtensions]].
+  */
+object VecKernels extends Serializable {
+
+  /** floor(10⁴ · cos(a, b)) with the exact fold semantics of the HOF twin:
+    * per-lane double cast, index-order left-fold sums for the dot product
+    * and both squared norms, `sqrt` per norm, then
+    * `(long) Math.floor((dot / (na * nb)) * 10000)` — the same grouping
+    * Spark's `Floor(Multiply(Divide(...)))` evaluates.
+    */
+  def cosineE4(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    Math.floor(dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0).toLong
+  }
+
+  /** Hyperplane lane signs, precomputed once per JVM: lane(j)(i) is the
+    * sign Spark's `xxhash64(lit(j), i)` parity assigns — xxhash64 chains
+    * children through seed 42, ints hash via `XXH64.hashInt`.
+    */
+  private lazy val laneSigns: Array[Array[Double]] = {
+    Array.tabulate(64) { j =>
+      val seedJ = XXH64.hashInt(j, 42L)
+      Array.tabulate(64) { i =>
+        val h = XXH64.hashInt(i, seedJ)
+        if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** n-bit random-hyperplane signature; bit j set iff the index-order
+    * double-fold dot of the vector with hyperplane j is > 0 — the exact
+    * semantics of the HOF twin it replaces.
+    */
+  def rhpSig64(v: ArrayData, nBits: Int): Long = {
+    val lanes = laneSigns
+    val n = math.min(64, v.numElements())
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      val lane = lanes(j)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        d += v.getFloat(i).toDouble * lane(i)
+        i += 1
+      }
+      if (d > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+final case class CosineE4(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cosine_e4 requires two array<float> arguments")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosineE4(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.cosineE4($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineE4 = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_e4"
+}
+
+final case class RhpSig64(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if nBits < 1 || nBits > 64 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"rhp_sig64 requires 1 <= nBits <= 64 (got $nBits)")
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure("rhp_sig64 requires array<float>")
+  }
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.rhpSig64(input.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.rhpSig64($c, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): RhpSig64 =
+    copy(child = newChild)
+  override def prettyName: String = "rhp_sig64"
+}

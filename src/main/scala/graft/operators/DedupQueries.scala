@@ -16,9 +16,11 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   *     signature buckets (MinHash-LSH), chunk pigeonhole buckets (SimHash
   *     hamming ≤ k). Within-bucket candidate pairs are then verified
   *     exactly. The all-pairs cross join never appears in any plan;
-  *   - everything below is Spark built-ins (codegen'd); the only lambda
-  *     expressions are `transform`/`aggregate` higher-order functions,
-  *     which Catalyst also codegens.
+  *   - the per-row heavy lifting (shingling, minhash banding, simhash)
+  *     runs in native codegen kernels ([[graft.functions.TextKernels]]);
+  *     higher-order-function lambdas are NOT whole-stage-codegen'd
+  *     (interpreted per-element eval — measured ~30× slower, see
+  *     TextExpressions scaladoc) and are kept out of every hot path here.
   */
 object DedupQueries {
   import CoreQueries.t
@@ -89,9 +91,12 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
     val inter = pairs.groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
+    // NO broadcast hint on `sizes`: it is one row per document — forcing
+    // a broadcast of an O(corpus) table is a scale-killer at 10^10 docs.
+    // AQE still picks a broadcast join at small scale on its own.
     inter
-      .join(broadcast(sizes.toDF("doc_a", "sz_a")), "doc_a")
-      .join(broadcast(sizes.toDF("doc_b", "sz_b")), "doc_b")
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
       .withColumn("jaccard_pct",
         floor(col("inter") * 100 / (col("sz_a") + col("sz_b") - col("inter")))
           .cast("long"))

@@ -2,12 +2,18 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim): brute-force cosine top-k as the exactness
   * baseline and a random-hyperplane LSH bucketed variant as the scale
-  * path. Dot products are `zip_with` + `aggregate` higher-order functions
-  * — codegen'd, no UDF, columns stay in Tungsten rows.
+  * path. The per-pair cosine and the hyperplane signature are native
+  * codegen expressions ([[graft.functions.CosineE4]] /
+  * [[graft.functions.RhpSig64]]) — the `zip_with` + `aggregate` HOF twins
+  * below are retained ONLY as the spec-pinned reference semantics: HOF
+  * lambdas are NOT whole-stage-codegen'd (interpreted per-element eval,
+  * see TextExpressions scaladoc), and the cosine needs three such folds
+  * per candidate pair.
   *
   * Scale notes: brute-force is O(N) per query and only acceptable for
   * reranking; the LSH variant buckets the corpus ONCE (a narrow map), and
@@ -19,9 +25,11 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import CoreQueries.t
 
-  /** dot(a, b) over double-cast lanes, left-fold in index order —
-    * deterministic summation order so the DuckDB oracle (same order)
-    * matches to float-noise level; results are floor-discretized.
+  /** HOF reference twin of [[cosE4]] (interpreted — used by
+    * VecExpressionsSpec to pin the kernel's semantics, never by queries):
+    * dot over double-cast lanes, left-fold in index order — deterministic
+    * summation order so the DuckDB oracle (same order) matches to
+    * float-noise level; results are floor-discretized.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -30,6 +38,13 @@ object SimilarityQueries {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** floor(10⁴·cos(a,b)) as one codegen kernel call — the hot-path form
+    * of `floor(cosine(a, b) * 10000).cast("long")`, bit-identical.
+    */
+  def cosE4(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.CosineE4(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Brute-force cosine top-k against the deterministic query vector
     * (vec_id = 0). TakeOrdered physical op: per-partition top-k then a
@@ -42,19 +57,16 @@ object SimilarityQueries {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        floor(cosine(col("embedding"), col("q")) * 10000).cast("long")
-          .as("cos_e4"))
+        cosE4(col("embedding"), col("q")).as("cos_e4"))
       .orderBy(col("cos_e4").desc, col("vec_id"))
       .limit(10)
   }
 
   /** Random-hyperplane signature: bit j = sign of dot(v, h_j) where
     * hyperplane lanes h_j[i] ∈ {−1, +1} come from a deterministic bit mix
-    * — reproducible across engines and runs, no RNG state.
-    */
-  /** Default 8 bits ⇒ 256 coarse buckets — sized so buckets stay populated
-    * at test scale; at 10^10 vectors you widen the signature (each bit
-    * halves expected bucket occupancy) rather than changing the plan.
+    * — reproducible across engines and runs, no RNG state. HOF reference
+    * twin of [[rhpSigCol]]; spec-pinned, not used by queries (8 bits ×
+    * 3 interpreted folds per corpus row otherwise).
     */
   def rhpSignature(v: Column, nBits: Int = 8): Column = {
     def lane(j: Int, i: Column): Column =
@@ -69,13 +81,22 @@ object SimilarityQueries {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Default 8 bits ⇒ 256 coarse buckets — sized so buckets stay populated
+    * at test scale; at 10^10 vectors you widen the signature (each bit
+    * halves expected bucket occupancy) rather than changing the plan.
+    * Codegen kernel, bit-identical to [[rhpSignature]].
+    */
+  def rhpSigCol(v: Column, nBits: Int = 8): Column =
+    ColumnBridge.column(graft.functions.RhpSig64(
+      ColumnBridge.expression(v), nBits))
+
   /** LSH-bucketed ANN: corpus bucketed by hyperplane signature; the query
     * probes its own bucket plus all hamming-1 neighbors and reranks the
     * candidates exactly — candidates ≪ corpus is the entire point.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-      .withColumn("bucket", rhpSignature(col("embedding")))
+      .withColumn("bucket", rhpSigCol(col("embedding")))
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q"), col("bucket").as("qb"))
     val probes = query.select(col("q"),
@@ -84,8 +105,7 @@ object SimilarityQueries {
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), "bucket")
       .select(col("vec_id"),
-        floor(cosine(col("embedding"), col("q")) * 10000).cast("long")
-          .as("cos_e4"))
+        cosE4(col("embedding"), col("q")).as("cos_e4"))
       .orderBy(col("cos_e4").desc, col("vec_id"))
       .limit(10)
   }
@@ -131,8 +151,7 @@ object SimilarityQueries {
     a.join(b, Seq("label", "bi", "bj"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        floor(cosine(col("emb_a"), col("emb_b")) * 10000).cast("long")
-          .as("cos_e4"))
+        cosE4(col("emb_a"), col("emb_b")).as("cos_e4"))
       .filter(col("cos_e4") >= 3000)
       .orderBy("label", "vec_a", "vec_b")
   }

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityQueries
+
+/** The vector kernels must be bit-identical to the interpreted HOF twins
+  * they replace (the q24/q25 DuckDB oracles mirror the HOF fold order),
+  * survive nulls, and run inside whole-stage codegen.
+  */
+class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]").appName("vecexpr-spec")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val dir = "/root/testdata/sf0.001"
+  def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("cosine_e4 kernel == floor(HOF cosine * 1e4) on every (vec, query) " +
+    "pair — bit-identical fold order") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    val rows = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        SimilarityQueries.cosE4(col("embedding"), col("q")).as("kern"),
+        floor(SimilarityQueries.cosine(col("embedding"), col("q")) * 10000)
+          .cast("long").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"cosine mismatch for vec ${r.get(0)}: kern=${r.get(1)} hof=${r.get(2)}"))
+  }
+
+  test("cosine_e4 kernel == HOF on within-label pairs (the q24 shape)") {
+    val a = emb.select(col("label"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val rows = a.join(b, "label").filter(col("va") < col("vb")).limit(2000)
+      .select(
+        SimilarityQueries.cosE4(col("ea"), col("eb")).as("kern"),
+        floor(SimilarityQueries.cosine(col("ea"), col("eb")) * 10000)
+          .cast("long").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("rhp_sig64 kernel == the xxhash64-derived HOF signature, all vectors") {
+    val rows = emb.select(
+        SimilarityQueries.rhpSigCol(col("embedding")).as("kern"),
+        SimilarityQueries.rhpSignature(col("embedding")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("null vector → null result (both kernels)") {
+    import spark.implicits._
+    val df = Seq((1, Array(1.0f, 2.0f)), (2, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val r = df.select(SimilarityQueries.cosE4(col("v"), col("v")),
+      SimilarityQueries.rhpSigCol(col("v"), 4)).orderBy(col("id")).collect()
+    assert(!r(0).isNullAt(0) && !r(0).isNullAt(1))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
+
+  test("SQL surface: cosine_e4 / rhp_sig64 registered and callable") {
+    emb.createOrReplaceTempView("e")
+    val r = spark.sql(
+      """SELECT cosine_e4(embedding, embedding) AS c,
+        |       rhp_sig64(embedding) AS s FROM e WHERE vec_id = 0""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 10000L) // cos(v, v) = 1
+    assert(!r.isNullAt(1))
+  }
+
+  test("kernels stay inside whole-stage codegen — no interpreted lambda in " +
+    "the plan") {
+    val df = emb.select(
+      SimilarityQueries.cosE4(col("embedding"), col("embedding")),
+      SimilarityQueries.rhpSigCol(col("embedding")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF in:\n$p")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("analysis-time validation: rhp_sig64 rejects nBits out of range; " +
+    "fractional literal params are rejected, not truncated") {
+    emb.createOrReplaceTempView("e2")
+    intercept[Exception] {
+      spark.sql("SELECT rhp_sig64(embedding, 65) FROM e2").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT rhp_sig64(embedding, 2.9) FROM e2").collect()
+    }
+    intercept[Exception] { // word_shingles n >= 1 (ADVICE: AIOOBE at eval)
+      spark.sql("SELECT word_shingles('a b c', 0) FROM e2").collect()
+    }
+  }
+}

@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join"), s"expected an equi-join in:\n$p")
   }
 
+  test("similarity family (q24/q25/q26): per-pair cosine is the codegen " +
+    "kernel — no interpreted HOF lambda, no UDF in any plan") {
+    Seq(SimilarityQueries.embedNearDup(spark, dir),
+        SimilarityQueries.annBruteForce(spark, dir),
+        SimilarityQueries.annLsh(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("lambdafunction"),
+        s"interpreted HOF lambda in similarity hot path:\n$p")
+      assert(!p.contains("ScalaUDF"), s"UDF in similarity hot path:\n$p")
+    }
+  }
+
   test("quality scoring: scan is columnar-batched and the plan has " +
     "whole-stage-codegen spans") {
     val p = plan(TextQueries.qualityScore(spark, dir))
