@@ -48,11 +48,17 @@ import graft.url.UrlCanon
   *     itself bounds any host to `hostBudget` rows per wave;
   *   - the seen check is Bloom-prefilter → exact left-anti (UrlSeen): the
   *     definite-unseen majority of candidate links never enters the
-  *     anti-join shuffle. Bloom segments are maintained INCREMENTALLY on
-  *     the driver — each wave's new hashes ride the seen-delta write in an
-  *     accumulator, so NO bloom build job ever runs (`bloomImpl =
-  *     "perwave"` keeps the distributed rebuild for when per-wave novelty
-  *     exceeds driver bandwidth).
+  *     anti-join shuffle. Bloom segments are maintained on the driver with
+  *     NO bloom build job: below `bloomDeltaThreshold` seen URLs the
+  *     wave's new hashes ride the seen-delta write in a
+  *     CollectionAccumulator (cheapest for small crawls); above it they
+  *     ride the SAME write in a [[UrlSeen.SegmentAccumulator]] — tasks
+  *     build bloom partials locally and the driver OR-merges fixed-size
+  *     segments, so no URL hash ever transits the driver (at 10^10 URLs
+  *     the hash stream would be ~80 GB through the driver over a crawl;
+  *     the segment partials are bounded by buckets × segment bytes per
+  *     task regardless of wave size). `bloomImpl = "perwave"` keeps the
+  *     distributed per-wave rebuild as a no-driver-state fallback.
   *
   * Robots gating (absent in the reference, required by north_rule) is an
   * ADMISSION filter: a disallowed URL never enters the frontier (otherwise
@@ -83,9 +89,20 @@ object CrawlLoop extends Serializable {
       // "join" = robots as a broadcast-joined table (the 10^8-host path —
       //          robots never transits the driver).
       robotsImpl: String = "map",
-      // "incremental" = driver-maintained bloom segments, zero bloom jobs;
+      // "auto"        = "incremental" below bloomDeltaThreshold seen URLs,
+      //                 "delta" at or above it (default);
+      // "incremental" = driver-maintained segments fed by a hash
+      //                 CollectionAccumulator — small-crawl fast path,
+      //                 driver traffic O(new URLs per wave);
+      // "delta"       = driver-maintained segments fed by a
+      //                 SegmentAccumulator riding the seen-delta write —
+      //                 tasks build bloom partials, the driver OR-merges
+      //                 fixed-size segments; no URL hash transits the
+      //                 driver (the 10^10-URL path);
       // "perwave"     = distributed rebuild from the seen union each wave.
-      bloomImpl: String = "incremental",
+      // CrawlLoopSpec proves all of them produce the identical crawl.
+      bloomImpl: String = "auto",
+      bloomDeltaThreshold: Long = 1L << 17,
       // name of a BucketedPages catalog table (bucketed+sorted by
       // url_hash); when set, the fetch join reads it in place
       pagesTable: Option[String] = None
@@ -180,10 +197,13 @@ object CrawlLoop extends Serializable {
         frontier0.select(col("urlHash").as("url_hash")).distinct().toDF()
       else seenUnion()
 
-    // incremental driver-side Bloom segments: seeded ONCE per crawl from
-    // the starting seen set (a single collect — at resume scale, switch
-    // bloomImpl to "perwave" if this exceeds driver bandwidth)
-    val incremental = cfg.useBloom && cfg.bloomImpl == "incremental"
+    // driver-side Bloom segment map, shared by the "incremental" and
+    // "delta" modes ("perwave" rebuilds from the seen union instead).
+    // Seeded ONCE per crawl from the starting seen set: small starts
+    // collect the hashes (one job); large resumes build the segments
+    // DISTRIBUTED (UrlSeen.buildSegments) and collect only the nBuckets-row
+    // segment table — the driver never sees a hash.
+    val driverBloom = cfg.useBloom && cfg.bloomImpl != "perwave"
     val segMap = scala.collection.mutable.Map[Int, Array[Long]]()
     def addToSeg(h: Long): Unit = {
       val bucket = java.lang.Math.floorMod(h, cfg.seenCfg.nBuckets.toLong).toInt
@@ -191,12 +211,36 @@ object CrawlLoop extends Serializable {
         new Array[Long](UrlSeen.Bloom.nWords(cfg.seenCfg.bitsPerSegment)))
       UrlSeen.Bloom.add(words, h, cfg.seenCfg.k)
     }
+    def orMergeSegs(m: Map[Int, Array[Long]]): Unit = m.foreach { case (b, w) =>
+      segMap.get(b) match {
+        case Some(mine) =>
+          var i = 0
+          while (i < mine.length) { mine(i) |= w(i); i += 1 }
+        case None => segMap(b) = w.clone()
+      }
+    }
     var seenCount =
-      if (incremental) {
+      if (!driverBloom) seen.count()
+      else if (cfg.bloomImpl == "incremental") {
         val init = seen.select(col("url_hash")).as[Long].collect()
         init.foreach(addToSeg)
         init.length.toLong
-      } else seen.count()
+      } else {
+        val n = seen.count()
+        if (cfg.bloomImpl == "auto" && n < cfg.bloomDeltaThreshold)
+          seen.select(col("url_hash")).as[Long].collect().foreach(addToSeg)
+        else if (n > 0)
+          orMergeSegs(UrlSeen.collectSegments(
+            UrlSeen.buildSegments(seen, cfg.seenCfg)))
+        n
+      }
+    // per-wave accumulator choice; "auto" may FLIP incremental→delta as the
+    // crawl grows — both feed the same segMap, so the flip is seamless
+    def waveBloomMode(): String =
+      if (!driverBloom) "none"
+      else if (cfg.bloomImpl == "auto")
+        (if (seenCount < cfg.bloomDeltaThreshold) "incremental" else "delta")
+      else cfg.bloomImpl
     var frontierCount = frontier.count()
 
     var wave = startWave
@@ -280,7 +324,7 @@ object CrawlLoop extends Serializable {
       val bloomActive = cfg.useBloom && seenCount >= cfg.bloomMinSeen
       val segMapOpt =
         if (!bloomActive) None
-        else if (incremental) Some(segMap.toMap)
+        else if (driverBloom) Some(segMap.toMap)
         else Some(UrlSeen.collectSegments(
           UrlSeen.buildSegments(seen, cfg.seenCfg)))
       // seen deltas are distinct by construction → seenDistinct = true
@@ -313,21 +357,30 @@ object CrawlLoop extends Serializable {
       val nextFrontier = remaining.union(retries).union(newEntries)
 
       // seen delta: this wave's new hashes (+ the seed hashes once, at
-      // wave 0). On the incremental path the hashes also ride this write
-      // into a collection accumulator feeding the driver bloom segments.
+      // wave 0). On the driver-bloom paths the hashes also ride this write
+      // into an accumulator feeding the driver segment map — raw hashes
+      // ("incremental", small crawls) or task-local bloom partials
+      // ("delta": fixed-size segments, no hash reaches the driver).
       val newHashes = newEntries.select(col("urlHash").as("url_hash"))
       val seenDeltaBase =
         if (wave == 0) seen.select("url_hash").unionByName(newHashes)
         else newHashes
+      val bloomMode = waveBloomMode()
       val hashAcc = new org.apache.spark.util.CollectionAccumulator[Long]()
-      val seenDelta =
-        if (!incremental) seenDeltaBase
-        else {
+      val segAcc = new UrlSeen.SegmentAccumulator(cfg.seenCfg)
+      val seenDelta = bloomMode match {
+        case "incremental" =>
           spark.sparkContext.register(hashAcc, s"seen_hashes_w$wave")
           seenDeltaBase.as[Long]
             .mapPartitions(it => it.map { h => hashAcc.add(h); h })
             .toDF("url_hash")
-        }
+        case "delta" =>
+          spark.sparkContext.register(segAcc, s"seen_segments_w$wave")
+          seenDeltaBase.as[Long]
+            .mapPartitions(it => it.map { h => segAcc.add(h); h })
+            .toDF("url_hash")
+        case _ => seenDeltaBase
+      }
 
       val seedCount = if (wave == 0) seenCount else 0L
       var metrics = Map.empty[String, Long]
@@ -340,18 +393,22 @@ object CrawlLoop extends Serializable {
         // footer-only metadata counts — zero extra Spark jobs
         metrics = Map(
           "scheduled" -> store.rowCount(written(s"fetch_log_w$wave")),
-          "fetched_ok" -> okAcc.value.toLong,
+          // *_approx: accumulator-derived — a task retry or speculative
+          // duplicate can inflate them (the footer-derived siblings are
+          // exact; recompute exact ok/retryable from fetch_log statuses
+          // when it matters, as q43 does)
+          "fetched_ok_approx" -> okAcc.value.toLong,
           "records" -> store.rowCount(written(s"records_w$wave")),
           "new_links" -> (store.rowCount(written(s"seen_w$wave")) - seedCount),
-          "retries" -> retryAcc.value.toLong
+          "retries_approx" -> retryAcc.value.toLong
         )
         metrics
       })
 
-      if (incremental) {
+      if (bloomMode == "incremental") {
         val it = hashAcc.value.iterator()
         while (it.hasNext) addToSeg(it.next())
-      }
+      } else if (bloomMode == "delta") orMergeSegs(segAcc.value)
 
       // reload state from the committed snapshot: truncates lineage so
       // wave N+1's plan is independent of wave N's

@@ -1,8 +1,15 @@
 package graft.seen
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.AccumulatorV2
 
 /** Partitioned Bloom-filter URL-seen membership layer (north_rule: "URL-seen
   * is a partitioned Bloom/cuckoo-filter membership layer keyed by
@@ -90,6 +97,47 @@ object UrlSeen {
   final case class Config(nBuckets: Int = 64, bitsPerSegment: Int = 1 << 16,
       k: Int = 5)
 
+  /** Distributed bloom-delta maintenance: an [[AccumulatorV2]] that rides
+    * an existing write job. Each TASK hashes its rows into LOCAL bloom
+    * segments; task completion ships only the fixed-size segment partials
+    * (≤ touched-buckets × segment bytes) to the driver, which OR-merges
+    * them. No URL hash ever transits the driver — the scale answer to the
+    * CollectionAccumulator path, whose driver traffic is O(new URLs per
+    * wave). OR-merging is idempotent, so task retries / speculative
+    * duplicates cannot corrupt the filter (they re-set the same bits).
+    */
+  final class SegmentAccumulator(cfg: Config)
+      extends AccumulatorV2[Long, Map[Int, Array[Long]]] {
+    private val segs = scala.collection.mutable.Map[Int, Array[Long]]()
+    override def isZero: Boolean = segs.isEmpty
+    override def copy(): SegmentAccumulator = {
+      val c = new SegmentAccumulator(cfg)
+      segs.foreach { case (b, w) => c.segs(b) = w.clone() }
+      c
+    }
+    override def reset(): Unit = segs.clear()
+    override def add(hash: Long): Unit = {
+      val bucket = java.lang.Math.floorMod(hash, cfg.nBuckets.toLong).toInt
+      val words = segs.getOrElseUpdate(bucket,
+        new Array[Long](Bloom.nWords(cfg.bitsPerSegment)))
+      Bloom.add(words, hash, cfg.k)
+    }
+    override def merge(other: AccumulatorV2[Long, Map[Int, Array[Long]]]): Unit =
+      other match {
+        case o: SegmentAccumulator => o.segs.foreach { case (b, w) =>
+          segs.get(b) match {
+            case Some(mine) =>
+              var i = 0
+              while (i < mine.length) { mine(i) |= w(i); i += 1 }
+            case None => segs(b) = w.clone()
+          }
+        }
+        case _ => throw new IllegalArgumentException(
+          s"cannot merge ${other.getClass} into SegmentAccumulator")
+      }
+    override def value: Map[Int, Array[Long]] = segs.toMap
+  }
+
   def bucketOf(hash: Column, nBuckets: Int): Column = pmod(hash, lit(nBuckets.toLong))
 
   /** Build the partitioned segment table from a frame with `url_hash`. */
@@ -122,26 +170,32 @@ object UrlSeen {
       cfg: Config = Config()): DataFrame =
     mightBeSeenWithMap(candidates, collectSegments(segments), cfg)
 
-  /** Probe against an already-collected segment map (the incremental
-    * driver-maintained path — the crawl loop feeds it new hashes via an
+  /** Row-side probe kernel (also called from [[BloomMightContain]]'s
+    * generated code): bucket lookup + double-hash membership. A bucket
+    * absent from the map was never built ⇒ definitely unseen.
+    */
+  def probe(segMap: Map[Int, Array[Long]], hash: Long, k: Int,
+      nBuckets: Int): Boolean = {
+    val bucket = java.lang.Math.floorMod(hash, nBuckets.toLong).toInt
+    segMap.get(bucket) match {
+      case Some(words) => Bloom.contains(words, hash, k)
+      case None        => false
+    }
+  }
+
+  /** Probe against an already-collected segment map (the incremental /
+    * delta driver-maintained paths — the crawl loop feeds the map via an
     * accumulator riding the seen-delta write, so NO bloom build job ever
-    * runs). A bucket absent from the map was never built ⇒ definitely
-    * unseen.
+    * runs). The probe is the [[BloomMightContain]] codegen expression over
+    * a broadcast of the map — on the hot candidate path a boxed Scala UDF
+    * would break the codegen span every wave.
     */
   def mightBeSeenWithMap(candidates: DataFrame,
       segMap: Map[Int, Array[Long]], cfg: Config = Config()): DataFrame = {
-    val spark = candidates.sparkSession
-    val bc = spark.sparkContext.broadcast(segMap)
-    val k = cfg.k
-    val nb = cfg.nBuckets
-    val probeUdf = udf((hash: Long) => {
-      val bucket = java.lang.Math.floorMod(hash, nb.toLong).toInt
-      bc.value.get(bucket) match {
-        case Some(words) => Bloom.contains(words, hash, k)
-        case None        => false
-      }
-    })
-    candidates.withColumn("might_seen", probeUdf(col("url_hash")))
+    val bc = candidates.sparkSession.sparkContext.broadcast(segMap)
+    candidates.withColumn("might_seen", ColumnBridge.column(
+      BloomMightContain(ColumnBridge.expression(col("url_hash")), bc,
+        cfg.k, cfg.nBuckets)))
   }
 
   /** Full unseen filter: bloom pre-filter (cheap, broadcast, no shuffle of
@@ -174,4 +228,34 @@ object UrlSeen {
         candidates.join(seenKeys, Seq("url_hash"), "left_anti")
     }
   }
+}
+
+/** Codegen bloom probe over a BROADCAST segment map: `might_contain(hash)`
+  * as a native unary expression, so the pre-filter stays inside the
+  * candidate pipeline's whole-stage-codegen span (the boxed-UDF twin it
+  * supersedes broke the span and boxed every hash —
+  * UrlSeenSpec pins expression ≡ UDF semantics). The map rides the
+  * expression as a `Broadcast` handle: serialized once per stage into the
+  * task binary, `value()` resolved per JVM, not per row.
+  */
+final case class BloomMightContain(child: Expression,
+    segments: Broadcast[Map[Int, Array[Long]]], k: Int, nBuckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bloom_might_contain requires a bigint url_hash argument")
+  override def nullSafeEval(input: Any): Any =
+    UrlSeen.probe(segments.value, input.asInstanceOf[Long], k, nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomSegments", segments,
+      classOf[Broadcast[Map[Int, Array[Long]]]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.seen.UrlSeen.probe((scala.collection.immutable.Map) " +
+        s"$bcRef.value(), $c, $k, $nBuckets)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
 }

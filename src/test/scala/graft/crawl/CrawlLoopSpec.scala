@@ -245,6 +245,30 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng == sim.records.sortBy(_.crawl_rank))
   }
 
+  test("bloom maintenance modes (incremental / delta / perwave / auto with " +
+    "a mid-crawl flip) all produce the identical crawl and seen set") {
+    import spark.implicits._
+    val simRecords = sim.records.sortBy(_.crawl_rank)
+    val variants = Seq(
+      "incremental" -> crawlCfg.copy(bloomImpl = "incremental"),
+      "delta" -> crawlCfg.copy(bloomImpl = "delta"),
+      "perwave" -> crawlCfg.copy(bloomImpl = "perwave"),
+      // threshold inside the crawl's seen growth → auto flips
+      // incremental→delta mid-crawl; both feed the same segment map
+      "auto-flip" -> crawlCfg.copy(bloomImpl = "auto",
+        bloomDeltaThreshold = 20L))
+    variants.foreach { case (name, c) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"crawl-bloom-$name")
+      val res = CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs,
+        new SnapshotStore(dir.toString, spark), c)
+      val eng = res.records.as[PageParsers.CrawlRecord]
+        .collect().sortBy(_.crawl_rank).toVector
+      assert(eng == simRecords, s"records diverge under bloomImpl=$name")
+      assert(res.seen.collect().map(_.getLong(0)).toSet == sim.seen,
+        s"seen set diverges under bloomImpl=$name")
+    }
+  }
+
   test("per-wave metrics come from footers/accumulators and match the " +
     "simulator's fetch counts") {
     val dir = java.nio.file.Files.createTempDirectory("crawl-metrics")
