@@ -118,6 +118,65 @@ object CrawlPipelines {
       .parquet(s"$OracleDumpDir/records")
     r.fetchLog.coalesce(1).write.mode("overwrite")
       .parquet(s"$OracleDumpDir/fetch_log")
+    iclrPages(s).coalesce(1).write.mode("overwrite")
+      .parquet(s"$OracleDumpDir/iclr_pages")
+  }
+
+  // ---- q50: ICLR end-to-end (S6 local-file source → E3 regex extract) ----
+
+  /** The saved-html corpus conference/ICLR.py re-reads (ICLR.py:57): one
+    * deterministic openreview listing per year, written as local
+    * `iclr_<year>.html.txt` files — the S6 source the pipeline scans.
+    * Each listing carries pdf-link anchors plus non-pdf chrome the regex
+    * must skip.
+    */
+  val IclrYears: Range = 2018 to 2022
+  def iclrHtml(year: Int): String = {
+    val n = 3 + year % 4
+    val rows = (0 until n).map { i =>
+      s"""  <li class="note"><a href="/pdf?id=${year}Paper$i" class="pdf-link" title="Download PDF">pdf</a><h4>Deterministic Title $year-$i</h4><a href="/forum?id=${year}Paper$i" class="forum-link">forum</a></li>"""
+    }.mkString("\n")
+    s"<html><body>\n<div id=\"notes\">\n$rows\n</div>\n</body></html>\n"
+  }
+
+  def iclrFixtureDir(): String = {
+    val d = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_iclr_pages")
+    java.nio.file.Files.createDirectories(d)
+    IclrYears.foreach { y =>
+      java.nio.file.Files.writeString(d.resolve(s"iclr_$y.html.txt"),
+        iclrHtml(y))
+    }
+    d.toString
+  }
+
+  /** The S6 scan: one row per saved file (wholetext), year parsed from the
+    * numeric file name (S7/O3). Also dumped as parquet for the q50 DuckDB
+    * oracle, which re-extracts the links independently (RE2 capture-group
+    * form of the lookaround regex).
+    */
+  def iclrPages(s: SparkSession): DataFrame = {
+    val d = iclrFixtureDir()
+    s.read.option("wholetext", "true").text(d)
+      .select(
+        regexp_extract(input_file_name(), "iclr_(\\d+)\\.html\\.txt", 1)
+          .cast("int").as("year"),
+        col("value").as("html"))
+  }
+
+  /** S6→E3→E17 end-to-end (conference/ICLR.py:57-70): saved listings →
+    * parseIclrPdfLinks (the `/pdf`…`pdf-link` lookaround regex) → one row
+    * per pdf in DOCUMENT ORDER (1-based ord) with the openreview download
+    * url and the '='-derived file name.
+    */
+  def iclrRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    iclrPages(s).as[(Int, String)].flatMap { case (year, html) =>
+      graft.extract.ConferenceExtract.parseIclrPdfLinks(html).zipWithIndex
+        .map { case (it, i) =>
+          (year, (i + 1).toLong, it.downloadUrl, it.fileName) }
+    }.toDF("year", "ord", "download_url", "file_name")
+      .orderBy("year", "ord")
   }
 
   /** §3.2 listing digest (new.py end-to-end): listing pages contribute
