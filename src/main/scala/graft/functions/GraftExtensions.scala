@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UrlHash64].getName, "url_hash64"),
       (children: Seq[Expression]) => UrlHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("url_path"),
+      new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
+      (children: Seq[Expression]) => UrlPath(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => GraftExtensions.shinglesBuilder(children)))
@@ -87,6 +91,8 @@ object GraftExtensions {
       children => CanonicalizeUrl(children.head))
     ColumnBridge.registerTempFunction(spark, "url_hash64",
       children => UrlHash64(children.head))
+    ColumnBridge.registerTempFunction(spark, "url_path",
+      children => UrlPath(children.head))
     ColumnBridge.registerTempFunction(spark, "word_shingles",
       shinglesBuilder)
     ColumnBridge.registerTempFunction(spark, "minhash_bands",

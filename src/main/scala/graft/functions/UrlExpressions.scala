@@ -28,6 +28,10 @@ object UrlExprOps extends Serializable {
   def hash64(u: UTF8String): Long =
     if (u == null) 0L
     else CrawlLoop.hash64(UrlCanon.canonicalize(u.toString))
+
+  def path(u: UTF8String): UTF8String =
+    if (u == null) null
+    else UTF8String.fromString(UrlCanon.pathOf(u.toString))
 }
 
 final case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
@@ -43,6 +47,27 @@ final case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl =
     copy(child = newChild)
   override def prettyName: String = "url_canon"
+}
+
+/** Column twin of [[graft.url.UrlCanon.pathOf]] — calls the SAME row
+  * function from generated code, so the robots admission decision cannot
+  * drift between `robotsImpl = "map"` (row-side pathOf) and `"join"`
+  * (this expression): the earlier regex formulation diverged on uppercase
+  * schemes, embedded newlines, and scheme-less strings containing '://'.
+  */
+final case class UrlPath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("url_path requires a string argument")
+  override def nullSafeEval(input: Any): Any =
+    UrlExprOps.path(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UrlExprOps.path($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlPath =
+    copy(child = newChild)
+  override def prettyName: String = "url_path"
 }
 
 final case class UrlHash64(child: Expression) extends UnaryExpression {

@@ -101,12 +101,15 @@ object Sinks {
     * file name `YYYYMMDD-HHMMSS .xml` (the reference's strftime pattern
     * ends with a literal SPACE before the extension) opened in APPEND mode.
     * The clock is injected so the contract is testable; production passes
-    * `System.currentTimeMillis`.
+    * `System.currentTimeMillis`. The timezone defaults to the system zone
+    * — the reference formats via `time.localtime` — and is a parameter so
+    * tests (and multi-zone fleets that want stable names) can pin UTC.
     */
   def tsXmlDump(dir: String, content: String,
-      clockMs: () => Long = () => System.currentTimeMillis()): java.nio.file.Path = {
+      clockMs: () => Long = () => System.currentTimeMillis(),
+      zone: java.util.TimeZone = java.util.TimeZone.getDefault): java.nio.file.Path = {
     val fmt = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss ")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setTimeZone(zone)
     val name = fmt.format(new java.util.Date(clockMs())) + ".xml"
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)

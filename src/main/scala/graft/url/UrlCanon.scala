@@ -158,13 +158,16 @@ object UrlCanon {
     if (j >= 0) rest.substring(j) else "/"
   }
 
-  /** Column twin of [[pathOf]] for the broadcast-join robots path. */
-  def pathCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val noScheme = regexp_replace(url, "^[a-z]+://", "")
-    val p = regexp_extract(noScheme, "(/.*)$", 1)
-    when(p === "", "/").otherwise(p)
-  }
+  /** Column twin of [[pathOf]] for the broadcast-join robots path: the
+    * [[graft.functions.UrlPath]] codegen expression, which calls pathOf
+    * itself — ONE definition, so the map- and join-side robots decisions
+    * cannot diverge on any input (an earlier regex twin differed on
+    * uppercase schemes and embedded newlines).
+    */
+  def pathCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.UrlPath(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(url)))
 
   /** RFC 3986 §5.2.2 reference resolution — semantics of Python's
     * urljoin (reference: text/architectural_119.py:137,150,212,216).

@@ -43,6 +43,28 @@ class UrlExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("url_path (pathCol) == pathOf on adversarial inputs — uppercase " +
+    "scheme, embedded newline, scheme-less '://', so map- and join-side " +
+    "robots admission cannot diverge") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "https://h.example.org/disallowed/x",
+      "HTTPS://h.example.org/disallowed/x", // uppercase scheme
+      "https://h.example.org/a\nb/c", // embedded newline
+      "weird://inside/path", // unusual scheme
+      "no-scheme-but-has://slash/later", // '://' in a non-scheme position
+      "h.example.org/rootless",
+      "just-a-token",
+      "")
+    val rows = adversarial.toDF("url")
+      .select(col("url"), UrlCanon.pathCol(col("url")).as("p"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == UrlCanon.pathOf(r.getString(0)),
+        s"pathCol diverges from pathOf for '${r.getString(0)}'")
+    }
+  }
+
   test("expressions run inside whole-stage codegen (no UDF bridge)") {
     // derive urls from range so the projection cannot constant-fold into
     // a LocalTableScan — the expression must run in generated code

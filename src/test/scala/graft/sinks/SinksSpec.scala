@@ -92,9 +92,10 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     "before .xml; append mode accumulates within the same second") {
     val dir = java.nio.file.Files.createTempDirectory("k7").toString
     val clock = () => 1700000000000L // 2023-11-14 22:13:20 UTC
-    val f1 = Sinks.tsXmlDump(dir, "<r>a</r>\n", clock)
+    val utc = java.util.TimeZone.getTimeZone("UTC")
+    val f1 = Sinks.tsXmlDump(dir, "<r>a</r>\n", clock, utc)
     assert(f1.getFileName.toString == "20231114-221320 .xml")
-    val f2 = Sinks.tsXmlDump(dir, "<r>b</r>\n", clock)
+    val f2 = Sinks.tsXmlDump(dir, "<r>b</r>\n", clock, utc)
     assert(f1 == f2) // same second → same file, appended (open 'a+')
     assert(java.nio.file.Files.readString(f1) == "<r>a</r>\n<r>b</r>\n")
   }

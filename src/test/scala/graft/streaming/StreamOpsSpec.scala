@@ -84,6 +84,85 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("batch ≡ stream equivalence on the SAME event log (the batch " +
+    "politeness scheduler's wave output): per-host-window counts and the " +
+    "deduped URL set match the batch aggregations exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // event log = the batch scheduler's output over a skewed frontier:
+    // politeness slots become event timestamps, so the stream sees the
+    // exact fetch cadence the batch engine would execute
+    val frontier = spark.createDataset((0 until 8).flatMap { h =>
+      (0 until (if (h == 0) 40 else 10)).map { i =>
+        graft.crawl.CrawlLoop.entryOf(
+          s"https://host$h.example.org/page/$i", "blog", h, 0, i, 0)
+      }
+    })
+    val sched = graft.frontier.PoliteScheduler.scheduleWithMap(
+      frontier, Map.empty, 0L,
+      graft.frontier.PoliteScheduler.Config(hostBudget = 1000,
+        defaultDelayMs = 15000L)) // 4 fetches/min/host across windows
+    val base = ts(0).getTime
+    // replay in EVENT-TIME order (the realistic log replay): an
+    // out-of-order split would push the watermark past still-undelivered
+    // rows and the stream would — correctly — drop them as late
+    val events = sched.collect().map(s => FetchEvent(s.entry.host, 200,
+      new Timestamp(base + s.notBefore))).sortBy(_.event_ts.getTime)
+    val urlEvents = sched.collect().map(s =>
+      UrlEvent(s.entry.urlHash, new Timestamp(base + s.notBefore)))
+    // duplicate every 3rd url event (a re-discovered URL) — the batch and
+    // stream dedup must agree on the survivor SET
+    val urlLog = (urlEvents ++ urlEvents.zipWithIndex.collect {
+      case (e, i) if i % 3 == 0 => e.copy(event_ts =
+        new Timestamp(e.event_ts.getTime + 1000))
+    }).sortBy(_.event_ts.getTime)
+
+    // ---- batch truth --------------------------------------------------
+    // tuple frame (inner case classes lack an outer scope for encoders)
+    val eventsDf = events.toSeq.map(e => (e.host, e.event_ts))
+      .toDF("host", "event_ts")
+    val batchCounts = eventsDf
+      .groupBy(col("host"), window(col("event_ts"), "1 minute"))
+      .agg(count(lit(1)).as("fetches"))
+      .select(col("host"), col("window.start").as("w_start"), col("fetches"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    val batchSeen = urlLog.map(_.url_hash).toSet
+
+    // ---- stream side: same rows through the streaming operators -------
+    val fin = MemoryStream[FetchEvent]
+    val qb = StreamOps.hostBudgetAccounting(fin.toDF())
+      .writeStream.format("memory").queryName("equiv_budget")
+      .outputMode("append").start()
+    val uin = MemoryStream[UrlEvent]
+    val qd = StreamOps.streamingUrlDedup(uin.toDF())
+      .writeStream.format("memory").queryName("equiv_dedup")
+      .outputMode("append").start()
+    try {
+      // rate-limited delivery: two micro-batches, then a far-future
+      // sentinel to push the watermark past every real window
+      val (a, b) = events.splitAt(events.length / 2)
+      fin.addData(a.toIndexedSeq); qb.processAllAvailable()
+      fin.addData(b.toIndexedSeq); qb.processAllAvailable()
+      fin.addData(FetchEvent("zz_sentinel", 200, ts(59)))
+      qb.processAllAvailable()
+      val (ua, ub) = urlLog.splitAt(urlLog.length / 2)
+      uin.addData(ua.toIndexedSeq); qd.processAllAvailable()
+      uin.addData(ub.toIndexedSeq); qd.processAllAvailable()
+      val streamCounts = spark.table("equiv_budget").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+        .filter(_._1 != "zz_sentinel").toSet
+      assert(streamCounts == batchCounts,
+        s"host-window counts diverge:\nstream=$streamCounts\nbatch=$batchCounts")
+      val streamSeen = spark.table("equiv_dedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamSeen == batchSeen)
+      // dedup emitted exactly one row per distinct URL
+      assert(spark.table("equiv_dedup").count() == batchSeen.size)
+    } finally { qb.stop(); qd.stop() }
+  }
+
   test("host budget accounting tracks per-host per-window fetch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
