@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe main for builder-side timing iteration (not part of the
+  * driver contract): runs a single named Bench leg against a fresh
+  * session so individual legs can be timed without the full bench.
+  *   sbt "runMain graft.tools.Probe skew"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("skew")
+    val spark = graft.Bench.newSession(32, 32)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    what match {
+      case "skew" => graft.Bench.skewLeg(spark, results)
+      case other => sys.error(s"unknown probe: $other")
+    }
+    results.foreach { case (k, v) => println(f"$k%-34s $v%12.3f") }
+    spark.stop()
+  }
+}
