@@ -84,8 +84,15 @@ object Bench {
     "q23_simhash_pairs" -> 2.0, "q24_embed_neardup" -> 2.0,
     "q27_media_features" -> 3.0, "q28_api_lookup" -> 3.0,
     "q20_exact_dedup" -> 3.0)
+  // the crawl-backed queries (memoized crawl — a second timing would
+  // measure a cache hit). Explicit set: q47/q49 share the q4 prefix but
+  // are ordinary re-runnable sfDir queries and MUST stay armored.
+  private val crawlBacked = Set("q40_crawl_flagship", "q41_crawl_digest",
+    "q42_crawl_label_counts", "q43_crawl_host_metrics",
+    "q44_crawl_citations", "q45_listing_digest", "q46_conference_records",
+    "q48_repo_search")
   private def rerunBound(name: String): Option[Double] =
-    if (name.startsWith("q4")) None // memoized crawl — min-of-2 meaningless
+    if (crawlBacked(name)) None
     else Some(3.0 * expectedSec.getOrElse(name, 2.0))
 
   /** Shuffle-free parse/extract throughput: pages → entry derivation →
@@ -161,14 +168,16 @@ object Bench {
   }
 
   /** Skew evidence leg (north_rule: host-key skew handled explicitly): a
-    * frontier where one hot host holds 384× a cold host's URLs, pushed
-    * through BOTH schedule formulations at a finite politeness budget on
-    * identical cached input. The typed-Aggregator path reduces every host
-    * to ≤ budget rows PER PARTITION before the shuffle, so the hot host
-    * cannot concentrate its 384k rows into one task; the window twin
-    * shuffles all of them to a single partition and sorts there — its max
-    * task time IS the skew. Reported per impl: wall seconds (min of 2,
-    * interleaved) + p50/max task millis.
+    * frontier where one hot host holds 6.4 M URLs — 1600× a cold host —
+    * pushed through the schedule formulations at a finite politeness
+    * budget on identical cached input. The bounded paths (typed-
+    * Aggregator map-side top-k; the window twin via Spark's own
+    * WindowGroupLimit pushdown) keep pre-shuffle volume budget-bound
+    * regardless of hot-host size; the "sql_nobound" contrast disables the
+    * pushdown, so every hot-host row shuffles into ONE post-shuffle
+    * partition — its max task time IS the skew, and it grows linearly
+    * with the hot host. Reported per impl: wall seconds (min of 2,
+    * interleaved), p50/max task millis, and PER-RUN shuffle rows.
     */
   def skewLeg(s: SparkSession,
       results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
@@ -207,24 +216,32 @@ object Bench {
     val secs = impls.map(_ -> scala.collection.mutable.ArrayBuffer[Double]())
       .toMap
     val stats = scala.collection.mutable.Map[String, TaskDurations]()
-    for (rep <- 1 to 2; impl <- impls) {
+    val reps = 2
+    for (rep <- 1 to reps; impl <- impls) {
       val listener = stats.getOrElseUpdate(impl, new TaskDurations)
       s.sparkContext.addSparkListener(listener)
-      try secs(impl) += time(run(impl))._2
-      finally s.sparkContext.removeSparkListener(listener)
+      try {
+        secs(impl) += time(run(impl))._2
+        // the bus is async: drain before detaching, or the straggler's
+        // TaskEnd (the event this leg measures) is nondeterministically
+        // lost
+        org.apache.spark.graftshim.ListenerBridge.drain(s.sparkContext)
+      } finally s.sparkContext.removeSparkListener(listener)
     }
     impls.foreach { impl =>
       val d = stats(impl).durs.sorted
       results(s"wave_skew_${impl}_sec") = secs(impl).min
-      results(s"wave_skew_${impl}_task_p50_ms") = d(d.length / 2).toDouble
-      results(s"wave_skew_${impl}_task_max_ms") = d.last.toDouble
-      // the scale property: rows crossing the wire (both reps summed).
-      // agg's pre-shuffle top-k moves ≤ budget rows per host per
-      // partition; the window twin moves the ENTIRE hot host into one
-      // post-shuffle partition — at a 10^8-row hot host that one task is
-      // the OOM/straggler, which is why max-task state must stay bounded
+      results(s"wave_skew_${impl}_task_p50_ms") =
+        if (d.isEmpty) -1.0 else d(d.length / 2).toDouble
+      results(s"wave_skew_${impl}_task_max_ms") =
+        if (d.isEmpty) -1.0 else d.last.toDouble
+      // the scale property: rows crossing the wire PER RUN (the listener
+      // sums both reps; runs are deterministic, so divide). Bounded paths
+      // move ≤ budget rows per host per partition; the nobound contrast
+      // moves the ENTIRE hot host into one post-shuffle partition — at a
+      // 10^8-row hot host that one task is the OOM/straggler
       results(s"wave_skew_${impl}_shuffle_rows") =
-        stats(impl).shuffleRows.toDouble
+        stats(impl).shuffleRows.toDouble / reps
     }
     frontier.unpersist()
   }

@@ -211,14 +211,8 @@ object CrawlLoop extends Serializable {
         new Array[Long](UrlSeen.Bloom.nWords(cfg.seenCfg.bitsPerSegment)))
       UrlSeen.Bloom.add(words, h, cfg.seenCfg.k)
     }
-    def orMergeSegs(m: Map[Int, Array[Long]]): Unit = m.foreach { case (b, w) =>
-      segMap.get(b) match {
-        case Some(mine) =>
-          var i = 0
-          while (i < mine.length) { mine(i) |= w(i); i += 1 }
-        case None => segMap(b) = w.clone()
-      }
-    }
+    def orMergeSegs(m: Map[Int, Array[Long]]): Unit =
+      UrlSeen.orMergeInto(segMap, m)
     var seenCount =
       if (!driverBloom) seen.count()
       else if (cfg.bloomImpl == "incremental") {

@@ -19,15 +19,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("url_canon"),
       new ExpressionInfo(classOf[CanonicalizeUrl].getName, "url_canon"),
-      (children: Seq[Expression]) => CanonicalizeUrl(children.head)))
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("url_canon", CanonicalizeUrl.apply)(children)))
     ext.injectFunction((
       FunctionIdentifier("url_hash64"),
       new ExpressionInfo(classOf[UrlHash64].getName, "url_hash64"),
-      (children: Seq[Expression]) => UrlHash64(children.head)))
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("url_hash64", UrlHash64.apply)(children)))
     ext.injectFunction((
       FunctionIdentifier("url_path"),
       new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
-      (children: Seq[Expression]) => UrlPath(children.head)))
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("url_path", UrlPath.apply)(children)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
@@ -39,11 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("simhash64", SimHash64.apply)(children)))
     ext.injectFunction((
       FunctionIdentifier("cosine_e4"),
       new ExpressionInfo(classOf[CosineE4].getName, "cosine_e4"),
-      (children: Seq[Expression]) => CosineE4(children.head, children(1))))
+      (children: Seq[Expression]) => GraftExtensions.cosineBuilder(children)))
     ext.injectFunction((
       FunctionIdentifier("rhp_sig64"),
       new ExpressionInfo(classOf[RhpSig64].getName, "rhp_sig64"),
@@ -66,21 +70,51 @@ object GraftExtensions {
       s"$fn expects integer literal parameters, got: ${e.sql}")
   }
 
+  /** Arity check at analysis time — a wrong argument count should name
+    * the function, not surface as an IndexOutOfBoundsException from the
+    * builder (and extra arguments must not be silently ignored).
+    */
+  private def arity(fn: String, children: Seq[Expression], lo: Int,
+      hi: Int): Unit =
+    if (children.length < lo || children.length > hi)
+      throw new IllegalArgumentException(
+        s"$fn expects ${if (hi == lo) s"$lo" else s"$lo to $hi"} " +
+          s"argument(s), got ${children.length}")
+
   /** word_shingles(text[, n=3]) */
-  def shinglesBuilder(children: Seq[Expression]): Expression =
+  def shinglesBuilder(children: Seq[Expression]): Expression = {
+    arity("word_shingles", children, 1, 2)
     WordShingles(children.head,
       if (children.length > 1) intLit("word_shingles", children(1)) else 3)
+  }
 
   /** minhash_bands(shingles[, k=32, bands=8]) */
-  def minhashBuilder(children: Seq[Expression]): Expression =
+  def minhashBuilder(children: Seq[Expression]): Expression = {
+    arity("minhash_bands", children, 1, 3)
     MinhashBands(children.head,
       if (children.length > 1) intLit("minhash_bands", children(1)) else 32,
       if (children.length > 2) intLit("minhash_bands", children(2)) else 8)
+  }
 
   /** rhp_sig64(vec[, nBits=8]) */
-  def rhpSigBuilder(children: Seq[Expression]): Expression =
+  def rhpSigBuilder(children: Seq[Expression]): Expression = {
+    arity("rhp_sig64", children, 1, 2)
     RhpSig64(children.head,
       if (children.length > 1) intLit("rhp_sig64", children(1)) else 8)
+  }
+
+  /** cosine_e4(a, b) */
+  def cosineBuilder(children: Seq[Expression]): Expression = {
+    arity("cosine_e4", children, 2, 2)
+    CosineE4(children(0), children(1))
+  }
+
+  /** exactly-one-argument builder for the unary expressions */
+  def unaryBuilder(fn: String, mk: Expression => Expression)(
+      children: Seq[Expression]): Expression = {
+    arity(fn, children, 1, 1)
+    mk(children.head)
+  }
 
   /** Install the same functions on an already-built session (temp
     * functions) — for hosts that construct the SparkSession themselves.
@@ -88,19 +122,18 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.registerTempFunction(spark, "url_canon",
-      children => CanonicalizeUrl(children.head))
+      unaryBuilder("url_canon", CanonicalizeUrl.apply))
     ColumnBridge.registerTempFunction(spark, "url_hash64",
-      children => UrlHash64(children.head))
+      unaryBuilder("url_hash64", UrlHash64.apply))
     ColumnBridge.registerTempFunction(spark, "url_path",
-      children => UrlPath(children.head))
+      unaryBuilder("url_path", UrlPath.apply))
     ColumnBridge.registerTempFunction(spark, "word_shingles",
       shinglesBuilder)
     ColumnBridge.registerTempFunction(spark, "minhash_bands",
       minhashBuilder)
     ColumnBridge.registerTempFunction(spark, "simhash64",
-      children => SimHash64(children.head))
-    ColumnBridge.registerTempFunction(spark, "cosine_e4",
-      children => CosineE4(children.head, children(1)))
+      unaryBuilder("simhash64", SimHash64.apply))
+    ColumnBridge.registerTempFunction(spark, "cosine_e4", cosineBuilder)
     ColumnBridge.registerTempFunction(spark, "rhp_sig64", rhpSigBuilder)
   }
 }

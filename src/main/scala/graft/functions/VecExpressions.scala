@@ -31,19 +31,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 object VecKernels extends Serializable {
 
-  /** floor(10⁴ · cos(a, b)) with the exact fold semantics of the HOF twin:
+  /** floor(10⁴ · cos(a, b)) with the exact semantics of the HOF twin:
     * per-lane double cast, index-order left-fold sums for the dot product
     * and both squared norms, `sqrt` per norm, then
     * `(long) Math.floor((dot / (na * nb)) * 10000)` — the same grouping
-    * Spark's `Floor(Multiply(Divide(...)))` evaluates.
+    * Spark's `Floor(Multiply(Divide(...)))` evaluates. Returns NULL
+    * (boxed) exactly when the twin does: a ragged pair (`zip_with`
+    * null-pads the shorter side → null lane → null fold) or any null
+    * element nulls the whole fold.
     */
-  def cosineE4(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineE4(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -51,7 +56,8 @@ object VecKernels extends Serializable {
       nb += y * y
       i += 1
     }
-    Math.floor(dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0).toLong
+    java.lang.Long.valueOf(
+      Math.floor(dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0).toLong)
   }
 
   /** Hyperplane lane signs, precomputed once per JVM: lane(j)(i) is the
@@ -68,21 +74,47 @@ object VecKernels extends Serializable {
     }
   }
 
+  /** Lane sign for indices ≥ 64 of an over-long vector: the HOF twin zips
+    * them against a NULL sequence element, and `xxhash64` SKIPS null
+    * children — so the sign is the parity of hashInt(j, seed) alone, a
+    * per-hyperplane constant.
+    */
+  private lazy val laneSignNullIdx: Array[Double] = Array.tabulate(64) { j =>
+    if (java.lang.Math.floorMod(XXH64.hashInt(j, 42L), 2L) == 0L) 1.0 else -1.0
+  }
+
   /** n-bit random-hyperplane signature; bit j set iff the index-order
     * double-fold dot of the vector with hyperplane j is > 0 — the exact
-    * semantics of the HOF twin it replaces.
+    * semantics of the HOF twin for EVERY input shape: a vector shorter
+    * than 64 lanes or containing a null element nulls every fold, and
+    * `when(null > 0, …).otherwise(0)` makes every bit 0 → signature 0;
+    * lanes beyond 63 contribute with the null-index lane sign. (Sole
+    * documented divergence: a NULL vector is NULL here, where the HOF
+    * twin's otherwise(0) yields 0 — null-in-null-out is the saner
+    * contract.)
     */
   def rhpSig64(v: ArrayData, nBits: Int): Long = {
+    val n = v.numElements()
+    if (n < 64) return 0L // zip_with pads v with nulls → all folds null
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return 0L // null lane → all folds null
+      i += 1
+    }
     val lanes = laneSigns
-    val n = math.min(64, v.numElements())
     var sig = 0L
     var j = 0
     while (j < nBits) {
       val lane = lanes(j)
       var d = 0.0
-      var i = 0
-      while (i < n) {
+      i = 0
+      while (i < 64) {
         d += v.getFloat(i).toDouble * lane(i)
+        i += 1
+      }
+      val cl = laneSignNullIdx(j)
+      while (i < n) {
+        d += v.getFloat(i).toDouble * cl
         i += 1
       }
       if (d > 0) sig |= (1L << j)
@@ -95,6 +127,10 @@ object VecKernels extends Serializable {
 final case class CosineE4(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
+  // nullable beyond child nullability: ragged pairs and null ELEMENTS
+  // also produce null (the HOF-twin semantics), so ev.isNull must be a
+  // real variable even over non-null array columns
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
@@ -105,8 +141,17 @@ final case class CosineE4(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.cosineE4(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VecKernels.cosineE4($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosE4")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VecKernels.cosineE4($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineE4 = copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_e4"

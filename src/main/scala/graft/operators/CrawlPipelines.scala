@@ -139,15 +139,25 @@ object CrawlPipelines {
     s"<html><body>\n<div id=\"notes\">\n$rows\n</div>\n</body></html>\n"
   }
 
-  def iclrFixtureDir(): String = {
+  /** Writes the fixture files ATOMICALLY (temp file + atomic move) so a
+    * concurrent JVM's reader (Verify and sbt test can overlap) never sees
+    * a torn page, and returns the EXPLICIT per-year paths — the scan reads
+    * exactly these, so a stale file from an older fixture layout sitting
+    * in the shared tmp dir can never leak rows into q50.
+    */
+  def iclrFixturePaths(): Seq[String] = {
     val d = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_iclr_pages")
     java.nio.file.Files.createDirectories(d)
-    IclrYears.foreach { y =>
-      java.nio.file.Files.writeString(d.resolve(s"iclr_$y.html.txt"),
-        iclrHtml(y))
+    IclrYears.map { y =>
+      val f = d.resolve(s"iclr_$y.html.txt")
+      val tmp = java.nio.file.Files.createTempFile(d, s"iclr_$y", ".tmp")
+      java.nio.file.Files.writeString(tmp, iclrHtml(y))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      f.toString
     }
-    d.toString
   }
 
   /** The S6 scan: one row per saved file (wholetext), year parsed from the
@@ -156,8 +166,8 @@ object CrawlPipelines {
     * form of the lookaround regex).
     */
   def iclrPages(s: SparkSession): DataFrame = {
-    val d = iclrFixtureDir()
-    s.read.option("wholetext", "true").text(d)
+    val paths = iclrFixturePaths()
+    s.read.option("wholetext", "true").text(paths: _*)
       .select(
         regexp_extract(input_file_name(), "iclr_(\\d+)\\.html\\.txt", 1)
           .cast("int").as("year"),

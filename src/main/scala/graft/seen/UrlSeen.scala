@@ -66,6 +66,16 @@ object UrlSeen {
       true
     }
 
+    /** Word-wise OR of src into dst — THE segment-merge kernel (BloomAgg,
+      * SegmentAccumulator, and the crawl loop's driver map all share it,
+      * so a segment-layout change cannot desynchronize them).
+      */
+    def orInto(dst: Array[Long], src: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < dst.length) { dst(i) |= src(i); i += 1 }
+      dst
+    }
+
     def toBytes(bs: Array[Long]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(bs.length * 8)
       bs.foreach(bb.putLong)
@@ -83,11 +93,7 @@ object UrlSeen {
       extends Aggregator[Long, Array[Long], Array[Byte]] {
     def zero: Array[Long] = new Array[Long](Bloom.nWords(bits))
     def reduce(b: Array[Long], h: Long): Array[Long] = { Bloom.add(b, h, k); b }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < a.length) { a(i) |= b(i); i += 1 }
-      a
-    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = Bloom.orInto(a, b)
     def finish(b: Array[Long]): Array[Byte] = Bloom.toBytes(b)
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -124,19 +130,24 @@ object UrlSeen {
     }
     override def merge(other: AccumulatorV2[Long, Map[Int, Array[Long]]]): Unit =
       other match {
-        case o: SegmentAccumulator => o.segs.foreach { case (b, w) =>
-          segs.get(b) match {
-            case Some(mine) =>
-              var i = 0
-              while (i < mine.length) { mine(i) |= w(i); i += 1 }
-            case None => segs(b) = w.clone()
-          }
-        }
+        case o: SegmentAccumulator => UrlSeen.orMergeInto(segs, o.segs)
         case _ => throw new IllegalArgumentException(
           s"cannot merge ${other.getClass} into SegmentAccumulator")
       }
     override def value: Map[Int, Array[Long]] = segs.toMap
   }
+
+  /** OR-merge a segment map into a mutable driver/accumulator map — one
+    * definition for every segment-merge site.
+    */
+  def orMergeInto(dst: scala.collection.mutable.Map[Int, Array[Long]],
+      src: scala.collection.Map[Int, Array[Long]]): Unit =
+    src.foreach { case (b, w) =>
+      dst.get(b) match {
+        case Some(mine) => Bloom.orInto(mine, w)
+        case None       => dst(b) = w.clone()
+      }
+    }
 
   def bucketOf(hash: Column, nBuckets: Int): Column = pmod(hash, lit(nBuckets.toLong))
 

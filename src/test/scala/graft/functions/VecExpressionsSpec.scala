@@ -62,6 +62,53 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("edge shapes match the HOF twins: ragged pair and null ELEMENT → " +
+    "null cosine; short vector / null element → signature 0") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)), // ragged
+      (2, Array(1.0f, 2.0f), Array(1.0f, 2.0f))) // clean
+      .toDF("id", "a", "b").repartition(2)
+    val r = pairs
+      .select(col("id"), SimilarityQueries.cosE4(col("a"), col("b")).as("k"),
+        floor(SimilarityQueries.cosine(col("a"), col("b")) * 10000)
+          .cast("long").as("h"))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2)) // ragged: both null
+    assert(!r(1).isNullAt(1) && r(1).getLong(1) == r(1).getLong(2))
+
+    // null ELEMENT: HOF nulls the fold → kernel must too
+    val withNullElem = spark.sql(
+      """SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a,
+        |       array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b""".stripMargin)
+    val rn = withNullElem
+      .select(SimilarityQueries.cosE4(col("a"), col("b")).as("k"),
+        floor(SimilarityQueries.cosine(col("a"), col("b")) * 10000)
+          .cast("long").as("h")).collect()(0)
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
+
+    // rhp: a vector shorter than 64 lanes nulls every HOF fold →
+    // when(null > 0).otherwise(0) → signature 0; kernel must agree
+    val short = Seq((1, Array(1.0f, -2.0f))).toDF("id", "v").repartition(2)
+    val rs = short.select(
+      SimilarityQueries.rhpSigCol(col("v")).as("k"),
+      SimilarityQueries.rhpSignature(col("v")).as("h")).collect()(0)
+    assert(rs.getLong(0) == 0L && rs.getLong(0) == rs.getLong(1))
+  }
+
+  test("SQL builders reject wrong arity at analysis time (named error, " +
+    "not IndexOutOfBounds)") {
+    emb.createOrReplaceTempView("e3")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT cosine_e4(embedding) FROM e3").collect()
+    }
+    assert(ex.getMessage.contains("cosine_e4"))
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT simhash64('a', 'b') FROM e3").collect()
+    }
+    assert(ex2.getMessage.contains("simhash64"))
+  }
+
   test("null vector → null result (both kernels)") {
     import spark.implicits._
     val df = Seq((1, Array(1.0f, 2.0f)), (2, null.asInstanceOf[Array[Float]]))
