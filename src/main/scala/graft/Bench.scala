@@ -304,16 +304,28 @@ object Bench {
         "bench_crawl_pages", nBuckets = 32,
         path = Some(java.nio.file.Files
           .createTempDirectory("bench-crawl-pages").toString + "/t"))
-      val (crawlRes, crawlSec) = time {
-        val dir = java.nio.file.Files.createTempDirectory("bench-crawl")
-        CrawlLoop.run(spark, spark.emptyDataFrame,
-          SyntheticWeb.seeds(spark, webCfg), SyntheticWeb.robots(spark, webCfg),
-          new graft.store.SnapshotStore(dir.toString, spark),
-          CrawlLoop.Config(scheduler =
-            PoliteScheduler.Config(hostBudget = 2048, defaultDelayMs = 1L),
-            maxWaves = 24, pagesTable = Some("bench_crawl_pages")))
+      // min-of-2 per crawl leg: the loop is single-shot-per-run in a long
+      // session, and the round-3 full runs read it 426 vs 638 URLs/s on
+      // identical code — the leg needed the same noise armor phase 1 has.
+      // Each timed run is a FULL fresh crawl (fresh snapshot dir); only
+      // the page-table write is shared.
+      def crawlOnce(cfg: SyntheticWeb.Config, budget: Int,
+          table: String): (Long, Double) = {
+        val (res, sec) = time {
+          val dir = java.nio.file.Files.createTempDirectory("bench-crawl")
+          CrawlLoop.run(spark, spark.emptyDataFrame,
+            SyntheticWeb.seeds(spark, cfg), SyntheticWeb.robots(spark, cfg),
+            new graft.store.SnapshotStore(dir.toString, spark),
+            CrawlLoop.Config(scheduler =
+              PoliteScheduler.Config(hostBudget = budget, defaultDelayMs = 1L),
+              maxWaves = 24, pagesTable = Some(table)))
+        }
+        (res.fetchLog.count(), sec)
       }
-      val crawlUrls = crawlRes.fetchLog.count()
+      val (crawlUrls, crawlSec) = {
+        val runs = (1 to 2).map(_ => crawlOnce(webCfg, 2048, "bench_crawl_pages"))
+        runs.minBy(_._2)
+      }
       results("crawl_end_to_end_sec") = crawlSec
       results("crawl_end_to_end_urls_per_sec") = crawlUrls / crawlSec
 
@@ -326,17 +338,11 @@ object Bench {
         "bench_crawl_pages_4x", nBuckets = 32,
         path = Some(java.nio.file.Files
           .createTempDirectory("bench-crawl-pages4x").toString + "/t"))
-      val (crawlRes4x, crawlSec4x) = time {
-        val dir = java.nio.file.Files.createTempDirectory("bench-crawl4x")
-        CrawlLoop.run(spark, spark.emptyDataFrame,
-          SyntheticWeb.seeds(spark, webCfg4x),
-          SyntheticWeb.robots(spark, webCfg4x),
-          new graft.store.SnapshotStore(dir.toString, spark),
-          CrawlLoop.Config(scheduler =
-            PoliteScheduler.Config(hostBudget = 8192, defaultDelayMs = 1L),
-            maxWaves = 24, pagesTable = Some("bench_crawl_pages_4x")))
+      val (crawlUrls4x, crawlSec4x) = {
+        val runs = (1 to 2).map(_ =>
+          crawlOnce(webCfg4x, 8192, "bench_crawl_pages_4x"))
+        runs.minBy(_._2)
       }
-      val crawlUrls4x = crawlRes4x.fetchLog.count()
       results("crawl_end_to_end_4x_sec") = crawlSec4x
       results("crawl_end_to_end_4x_urls_per_sec") = crawlUrls4x / crawlSec4x
 
@@ -366,6 +372,11 @@ object Bench {
     // would otherwise dominate the bench's wall clock).
     val legs = Seq(1, 4, 32)
     def waveReps(p: Int): Int = if (p == 4) 4 else 2
+    // parse@1 is informational only (the headline pair is the wave job;
+    // the parse evidence that matters is 4→32, the shuffle-free
+    // memory-ceiling comparison) and it is the single longest leg —
+    // skipping it buys the wall budget the crawl legs' min-of-2 spends
+    def parseReps(p: Int): Int = if (p == 1) 0 else 2
     val waveSecs = legs.map(p => p -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val parseSecs = legs.map(p => p -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     for (rep <- 1 to 4; p <- legs) {
@@ -373,27 +384,30 @@ object Bench {
         spark = newSession(p, 64)
         BucketedPages.register(spark, "bench_wave_pages", bucketDir, 64)
         if (rep == 1) { // JIT + codegen + file-listing warm, once per leg
-          parsePipeline(spark, webDir)
+          if (parseReps(p) > 0) parsePipeline(spark, webDir)
           wavePipeline(spark, "bench_wave_pages")
         }
-        if (rep <= 2) parseSecs(p) += time(parsePipeline(spark, webDir))._2
+        if (rep <= parseReps(p))
+          parseSecs(p) += time(parsePipeline(spark, webDir))._2
         if (rep <= waveReps(p))
           waveSecs(p) += time(wavePipeline(spark, "bench_wave_pages"))._2
       }
     }
     val waveTput = legs.map(p => p -> nPages / waveSecs(p).min).toMap
-    val parseTput = legs.map(p => p -> nPages / parseSecs(p).min).toMap
+    val parseTput = legs.filter(parseSecs(_).nonEmpty)
+      .map(p => p -> nPages / parseSecs(p).min).toMap
     legs.foreach { p =>
       results(s"wave_urls_per_sec_local$p") = waveTput(p)
       results(s"wave_sec_local$p") = waveSecs(p).min
-      results(s"parse_urls_per_sec_local$p") = parseTput(p)
-      results(s"parse_sec_local$p") = parseSecs(p).min
+      if (parseSecs(p).nonEmpty) {
+        results(s"parse_urls_per_sec_local$p") = parseTput(p)
+        results(s"parse_sec_local$p") = parseSecs(p).min
+      }
     }
     val waveEff14 = (waveTput(4) / waveTput(1)) / 4.0
     val waveEff432 = (waveTput(32) / waveTput(4)) / 8.0
     results("wave_scaling_efficiency_1_to_4") = waveEff14
     results("wave_scaling_efficiency_4_to_32") = waveEff432
-    results("parse_scaling_efficiency_1_to_4") = (parseTput(4) / parseTput(1)) / 4.0
     results("parse_scaling_efficiency_4_to_32") = (parseTput(32) / parseTput(4)) / 8.0
 
     // ---- 4→32 ceiling probe: 32 cores, 2× shuffle parallelism ------------
