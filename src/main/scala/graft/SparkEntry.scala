@@ -63,6 +63,11 @@ object SparkEntry {
     "q29_numeric_sort" -> (CoreQueries.numericSort _),
     // ICLR end-to-end: S6 saved-html files → lookaround regex extract
     "q50_iclr_pdf_links" -> (CrawlPipelines.iclrRecords _),
+    // q47/q49 are ordinary sfDir queries (zotero / youtube) — listed
+    // BEFORE the crawl family despite their numbers, per the ordering
+    // contract above
+    "q47_zotero_priority" -> (CoreQueries.zoteroPriorityDedup _),
+    "q49_youtube_api" -> (CoreQueries.youtubeSearch _),
     // crawl-engine pipelines (§3.1-3.3) over the deterministic synthetic
     // web; rows-only driver checks — deep contracts live in CrawlLoopSpec
     "q40_crawl_flagship" -> (CrawlPipelines.flagship _),
@@ -73,9 +78,7 @@ object SparkEntry {
     "q45_listing_digest" -> (CrawlPipelines.listingDigest _),
     // conference + repo-search parser families (ICRA/ISCA/getrepository)
     "q46_conference_records" -> (CrawlPipelines.conferenceRecords _),
-    "q47_zotero_priority" -> (CoreQueries.zoteroPriorityDedup _),
-    "q48_repo_search" -> (CrawlPipelines.repoRecords _),
-    "q49_youtube_api" -> (CoreQueries.youtubeSearch _)
+    "q48_repo_search" -> (CrawlPipelines.repoRecords _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,6 +374,10 @@ object SparkEntry {
         |  ON b.doc_id = r.rep_doc AND b.title = r.title
         |ORDER BY r.section_no, r.rep_doc""".stripMargin,
     "q50_iclr_pdf_links" ->
+      // file_name twin of Scala's link.split('=').last: String.split DROPS
+      // trailing empty segments, so strip trailing '='s (rtrim) before
+      // taking the last '='-free suffix — '([^=]*)$' alone would diverge
+      // on a link ending in '=' (Spark '?id.pdf' vs DuckDB '.pdf')
       (s"""WITH l AS (
         |  SELECT year, regexp_extract_all(html,
         |    'href="/pdf(.+?)" class="pdf-link', 1) AS links
@@ -378,7 +385,8 @@ object SparkEntry {
         |u AS (SELECT year, unnest(links) AS link,
         |        CAST(generate_subscripts(links, 1) AS BIGINT) AS ord FROM l)
         |SELECT year, ord, 'https://openreview.net/pdf' || link AS download_url,
-        |  regexp_extract(link, '([^=]*)${"$"}', 1) || '.pdf' AS file_name
+        |  regexp_extract(rtrim(link, '='), '([^=]*)${"$"}', 1) || '.pdf'
+        |    AS file_name
         |FROM u ORDER BY year, ord""").stripMargin,
     "q27_media_features" ->
       """SELECT doc_id,

@@ -205,12 +205,7 @@ object CrawlLoop extends Serializable {
     // segment table — the driver never sees a hash.
     val driverBloom = cfg.useBloom && cfg.bloomImpl != "perwave"
     val segMap = scala.collection.mutable.Map[Int, Array[Long]]()
-    def addToSeg(h: Long): Unit = {
-      val bucket = java.lang.Math.floorMod(h, cfg.seenCfg.nBuckets.toLong).toInt
-      val words = segMap.getOrElseUpdate(bucket,
-        new Array[Long](UrlSeen.Bloom.nWords(cfg.seenCfg.bitsPerSegment)))
-      UrlSeen.Bloom.add(words, h, cfg.seenCfg.k)
-    }
+    def addToSeg(h: Long): Unit = UrlSeen.addToSegMap(segMap, h, cfg.seenCfg)
     def orMergeSegs(m: Map[Int, Array[Long]]): Unit =
       UrlSeen.orMergeInto(segMap, m)
     var seenCount =

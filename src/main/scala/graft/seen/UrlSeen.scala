@@ -122,12 +122,7 @@ object UrlSeen {
       c
     }
     override def reset(): Unit = segs.clear()
-    override def add(hash: Long): Unit = {
-      val bucket = java.lang.Math.floorMod(hash, cfg.nBuckets.toLong).toInt
-      val words = segs.getOrElseUpdate(bucket,
-        new Array[Long](Bloom.nWords(cfg.bitsPerSegment)))
-      Bloom.add(words, hash, cfg.k)
-    }
+    override def add(hash: Long): Unit = UrlSeen.addToSegMap(segs, hash, cfg)
     override def merge(other: AccumulatorV2[Long, Map[Int, Array[Long]]]): Unit =
       other match {
         case o: SegmentAccumulator => UrlSeen.orMergeInto(segs, o.segs)
@@ -148,6 +143,19 @@ object UrlSeen {
         case None       => dst(b) = w.clone()
       }
     }
+
+  /** Add one hash to a mutable segment map — THE segment-add kernel (the
+    * SegmentAccumulator's task-local partials and the crawl loop's
+    * driver map share it, so bucket derivation cannot desynchronize; its
+    * bucketing matches [[bucketOf]]/[[buildSegments]]).
+    */
+  def addToSegMap(segs: scala.collection.mutable.Map[Int, Array[Long]],
+      hash: Long, cfg: Config): Unit = {
+    val bucket = java.lang.Math.floorMod(hash, cfg.nBuckets.toLong).toInt
+    val words = segs.getOrElseUpdate(bucket,
+      new Array[Long](Bloom.nWords(cfg.bitsPerSegment)))
+    Bloom.add(words, hash, cfg.k)
+  }
 
   def bucketOf(hash: Column, nBuckets: Int): Column = pmod(hash, lit(nBuckets.toLong))
 
@@ -246,8 +254,9 @@ object UrlSeen {
   * candidate pipeline's whole-stage-codegen span (the boxed-UDF twin it
   * supersedes broke the span and boxed every hash —
   * UrlSeenSpec pins expression ≡ UDF semantics). The map rides the
-  * expression as a `Broadcast` handle: serialized once per stage into the
-  * task binary, `value()` resolved per JVM, not per row.
+  * expression as a `Broadcast` handle serialized once per stage into the
+  * task binary; the generated code dereferences `value()` ONCE per
+  * codegen instance (mutable state initialized in init()), not per row.
   */
 final case class BloomMightContain(child: Expression,
     segments: Broadcast[Map[Int, Array[Long]]], k: Int, nBuckets: Int)
@@ -262,9 +271,13 @@ final case class BloomMightContain(child: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bloomSegments", segments,
       classOf[Broadcast[Map[Int, Array[Long]]]].getName)
+    // hoist the Broadcast.value() deref out of the per-row path: resolved
+    // once in the generated class's init(), then read as a field
+    val mapVar = ctx.addMutableState("scala.collection.immutable.Map",
+      "bloomSegMap",
+      v => s"$v = (scala.collection.immutable.Map) $bcRef.value();")
     defineCodeGen(ctx, ev, c =>
-      s"graft.seen.UrlSeen.probe((scala.collection.immutable.Map) " +
-        s"$bcRef.value(), $c, $k, $nBuckets)")
+      s"graft.seen.UrlSeen.probe($mapVar, $c, $k, $nBuckets)")
   }
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
