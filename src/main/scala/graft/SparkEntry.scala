@@ -57,6 +57,7 @@ object SparkEntry {
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
     "q26_ann_lsh" -> (SimilarityQueries.annLsh _),
+    "q51_ann_ivf" -> (SimilarityQueries.annIvf _),
     // multimodal binary-column plumbing (decode stubbed, plumbing real)
     "q27_media_features" -> (MultimodalQueries.mediaFeatures _),
     "q28_api_lookup" -> (CoreQueries.apiLookup _),
@@ -253,6 +254,47 @@ object SparkEntry {
         |  AS cos_e4
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
+    // q51: the DuckDB side recomputes the IVF pipeline end-to-end — the
+    // deterministic centroids (exact rationals: k/1024), the argmax cell
+    // assignment with the same (cos DESC, j) tiebreak, the query's top-4
+    // probe cells, and the exact rerank — all independently of Spark.
+    "q51_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT j, list_transform(range(0, 64),
+        |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
+        |  FROM generate_series(0, 15) t(j)),
+        |cos AS (
+        |  SELECT e.vec_id, t.j, CAST(floor(
+        |    list_sum(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * t.c[i])) /
+        |    (sqrt(list_sum(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1,65),
+        |      i -> t.c[i] * t.c[i])))) * 10000) AS BIGINT) AS ce4
+        |  FROM embeddings e, cents t),
+        |asn AS (
+        |  SELECT vec_id, j AS cell FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
+        |    FROM cos) WHERE rn = 1),
+        |qcells AS (
+        |  SELECT j AS cell FROM (
+        |    SELECT j, row_number() OVER (ORDER BY ce4 DESC, j) rn
+        |    FROM cos WHERE vec_id = 0) WHERE rn <= 4),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, CAST(floor(
+        |  list_sum(list_transform(range(1,65),
+        |    i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1,65),
+        |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1,65),
+        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
+        |  AS cos_e4
+        |FROM embeddings e
+        |JOIN asn a ON a.vec_id = e.vec_id
+        |JOIN qcells p ON a.cell = p.cell, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
     "q29_numeric_sort" ->
       """SELECT doc_id, name, num_key FROM (
         |  SELECT doc_id, source || '_' || lang AS name,

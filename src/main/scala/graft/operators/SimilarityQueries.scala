@@ -110,6 +110,63 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- IVF-style ANN (q51) -----------------------------------------------
+
+  /** Deterministic IVF coarse centroids: cell j, lane i =
+    * (((j·64+i)·2654435761 mod 2003) − 1001) / 1024 — integer arithmetic
+    * plus division by a power of two, so the value is EXACTLY
+    * representable in float and double and recomputable bit-identically
+    * by the DuckDB oracle (no RNG, no trig, no cross-libm drift). At real
+    * scale these would come from a k-means job persisted beside the
+    * corpus; the assignment/probe/rerank plan below is unchanged by where
+    * the centroids come from.
+    */
+  val IvfCells = 16
+  val IvfProbes = 4
+  def ivfCentroid(j: Int): Array[Float] =
+    Array.tabulate(64) { i =>
+      ((((j.toLong * 64 + i) * 2654435761L) % 2003L - 1001L) / 1024.0).toFloat
+    }
+
+  /** cos_e4 of v against every centroid, as one long-array column (each
+    * element a [[cosE4]] codegen kernel call).
+    */
+  private def ivfCosines(v: Column): Column =
+    array((0 until IvfCells).map(j => cosE4(v, typedlit(ivfCentroid(j)))): _*)
+
+  /** Coarse cell assignment: argmax cosine, FIRST max wins on ties
+    * (`array_position` returns the first occurrence — the DuckDB oracle
+    * mirrors with row_number ordered by (cos DESC, j)).
+    */
+  def ivfCell(v: Column): Column = {
+    val cos = ivfCosines(v)
+    (array_position(cos, array_max(cos)) - 1).cast("int")
+  }
+
+  /** IVF ANN: assign the corpus to coarse cells ONCE (a narrow map — at
+    * 10^10 vectors this is the partition/cluster key you'd write the
+    * table by), probe the query's `IvfProbes` nearest cells only, rerank
+    * the candidates exactly with the cosine kernel. Complements [[annLsh]]
+    * (hyperplane buckets): same plan shape, data-adaptive cells.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .withColumn("cell", ivfCell(col("embedding")))
+    // query's nprobe nearest cells: sort (−cos, j) structs ascending —
+    // deterministic j tiebreak, matching the oracle's (cos DESC, j)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"), ivfCosines(col("embedding")).as("qcos"))
+      .select(col("q"), slice(sort_array(array((0 until IvfCells).map(j =>
+        struct((lit(0L) - element_at(col("qcos"), j + 1)).as("neg"),
+          lit(j).as("j"))): _*)), 1, IvfProbes).getField("j").as("cells"))
+    val probes = query.select(col("q"), explode(col("cells")).as("cell"))
+    corpus.join(broadcast(probes), "cell")
+      .select(col("vec_id"), cosE4(col("embedding"), col("q")).as("cos_e4"))
+      .orderBy(col("cos_e4").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Sub-blocks per label for [[embedNearDup]]: a hot label with n vectors
     * is n²-quadratic no matter what (the semantics are exact within-label
     * all-pairs), but WITHOUT sub-blocking all n² comparisons land in ONE

@@ -109,6 +109,31 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     lsh.foreach { case (id, cos) => assert(brute(id) == cos) }
   }
 
+  test("ANN IVF: identical-direction vector shares the query cell and is " +
+    "retrieved; candidate scores agree with brute force exactly") {
+    val brute = SimilarityQueries.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ivf = SimilarityQueries.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // vec 1 = 2×query → identical cosine to EVERY centroid → same cell
+    // as the query → guaranteed probed and retrieved
+    assert(ivf.map(_._1).contains(1L))
+    ivf.foreach { case (id, cos) => assert(brute(id) == cos) }
+  }
+
+  test("ANN IVF recall on the real embeddings table: 4/16 probe cells " +
+    "recover a meaningful share of the brute-force top-10") {
+    val real = "/root/testdata/sf0.001"
+    val brute = SimilarityQueries.annBruteForce(spark, real).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = SimilarityQueries.annIvf(spark, real).collect()
+      .map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    // deterministic table → deterministic recall (measured 3/10; probing
+    // more cells raises it — the nprobe/recall dial of any IVF index)
+    assert((brute & ivf).size >= 2, s"recall collapsed: ${brute & ivf}")
+  }
+
   test("embedding near-dup is blocked by label: cross-label pairs never " +
     "appear even at cosine 1") {
     val rows = SimilarityQueries.embedNearDup(spark, dir).collect()
