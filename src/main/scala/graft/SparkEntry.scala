@@ -82,7 +82,51 @@ object SparkEntry {
     "q48_repo_search" -> (CrawlPipelines.repoRecords _)
   )
 
+  /** q26 oracle: the RHP lane-sign table inlined as SQL literals — the
+    * signs are ALGORITHM CONSTANTS (derived once from the xxhash64 bit
+    * mix, like q51's centroid rationals), generated here from the same
+    * [[graft.functions.VecKernels.laneSign]] the engine executes so the
+    * two can never drift. DuckDB then recomputes signature, hamming-1
+    * multiprobe, and exact rerank fully independently.
+    */
+  private def q26LanesValues: String = (0 until 8).map { j =>
+    val signs = (0 until 64).map(i =>
+      if (graft.functions.VecKernels.laneSign(j, i) > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+    s"($j, $signs)"
+  }.mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    "q26_ann_lsh" ->
+      s"""WITH lanes(j, signs) AS (VALUES $q26LanesValues),
+        |dots AS (
+        |  SELECT e.vec_id, l.j,
+        |    list_sum(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * l.signs[i])) AS d
+        |  FROM embeddings e, lanes l),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1<<j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |qb AS (SELECT bucket AS b FROM buckets WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT b FROM qb
+        |  UNION ALL SELECT xor(b, CAST(1<<j AS BIGINT))
+        |  FROM qb, generate_series(0, 7) t(j)),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, CAST(floor(
+        |  list_sum(list_transform(range(1,65),
+        |    i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1,65),
+        |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1,65),
+        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
+        |  AS cos_e4
+        |FROM embeddings e
+        |JOIN buckets bk ON bk.vec_id = e.vec_id
+        |JOIN probes p ON bk.bucket = p.b, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
     "q01_pivot_counts" ->
       """SELECT l_returnflag,
         | count(*) FILTER (WHERE l_linestatus='F') AS "F",

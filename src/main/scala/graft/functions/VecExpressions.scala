@@ -74,6 +74,13 @@ object VecKernels extends Serializable {
     }
   }
 
+  /** Hyperplane lane sign (j < 64, i < 64) — public so the q26 DuckDB
+    * oracle can inline the constant sign table as SQL literals and
+    * recompute the bucketing independently (the signs are algorithm
+    * constants, like q51's centroids, not data).
+    */
+  def laneSign(j: Int, i: Int): Double = laneSigns(j)(i)
+
   /** Lane sign for indices ≥ 64 of an over-long vector: the HOF twin zips
     * them against a NULL sequence element, and `xxhash64` SKIPS null
     * children — so the sign is the parity of hashInt(j, seed) alone, a
