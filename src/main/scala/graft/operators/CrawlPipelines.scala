@@ -152,6 +152,7 @@ object CrawlPipelines {
     IclrYears.map { y =>
       val f = d.resolve(s"iclr_$y.html.txt")
       val tmp = java.nio.file.Files.createTempFile(d, s"iclr_$y", ".tmp")
+      tmp.toFile.deleteOnExit() // a writer dying pre-move must not litter
       java.nio.file.Files.writeString(tmp, iclrHtml(y))
       java.nio.file.Files.move(tmp, f,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -128,20 +128,22 @@ object SimilarityQueries {
       ((((j.toLong * 64 + i) * 2654435761L) % 2003L - 1001L) / 1024.0).toFloat
     }
 
-  /** cos_e4 of v against every centroid, as one long-array column (each
-    * element a [[cosE4]] codegen kernel call).
+  /** (−cos_e4, j) structs of v against every centroid, one [[cosE4]]
+    * codegen kernel call per centroid, referenced exactly ONCE in the
+    * expression tree — sorting the struct array gives both the argmax
+    * cell (first element) and the nprobe nearest cells (first n) without
+    * re-evaluating the kernels or leaning on subexpression elimination.
+    * Ascending (−cos, j) order = (cos DESC, j) — smallest j wins ties,
+    * which the DuckDB oracle mirrors with row_number.
     */
-  private def ivfCosines(v: Column): Column =
-    array((0 until IvfCells).map(j => cosE4(v, typedlit(ivfCentroid(j)))): _*)
+  private def ivfSorted(v: Column): Column =
+    sort_array(array((0 until IvfCells).map(j =>
+      struct((lit(0L) - cosE4(v, typedlit(ivfCentroid(j)))).as("neg"),
+        lit(j).as("j"))): _*))
 
-  /** Coarse cell assignment: argmax cosine, FIRST max wins on ties
-    * (`array_position` returns the first occurrence — the DuckDB oracle
-    * mirrors with row_number ordered by (cos DESC, j)).
-    */
-  def ivfCell(v: Column): Column = {
-    val cos = ivfCosines(v)
-    (array_position(cos, array_max(cos)) - 1).cast("int")
-  }
+  /** Coarse cell assignment: argmax cosine, first max wins on ties. */
+  def ivfCell(v: Column): Column =
+    element_at(ivfSorted(v), 1).getField("j").cast("int")
 
   /** IVF ANN: assign the corpus to coarse cells ONCE (a narrow map — at
     * 10^10 vectors this is the partition/cluster key you'd write the
@@ -153,13 +155,12 @@ object SimilarityQueries {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") =!= 0)
       .withColumn("cell", ivfCell(col("embedding")))
-    // query's nprobe nearest cells: sort (−cos, j) structs ascending —
-    // deterministic j tiebreak, matching the oracle's (cos DESC, j)
+    // query's nprobe nearest cells: first n of the same sorted struct
+    // array the assignment uses
     val query = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q"), ivfCosines(col("embedding")).as("qcos"))
-      .select(col("q"), slice(sort_array(array((0 until IvfCells).map(j =>
-        struct((lit(0L) - element_at(col("qcos"), j + 1)).as("neg"),
-          lit(j).as("j"))): _*)), 1, IvfProbes).getField("j").as("cells"))
+      .select(col("embedding").as("q"),
+        slice(ivfSorted(col("embedding")), 1, IvfProbes).getField("j")
+          .as("cells"))
     val probes = query.select(col("q"), explode(col("cells")).as("cell"))
     corpus.join(broadcast(probes), "cell")
       .select(col("vec_id"), cosE4(col("embedding"), col("q")).as("cos_e4"))

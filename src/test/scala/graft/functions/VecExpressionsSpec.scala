@@ -97,8 +97,14 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("SQL builders reject wrong arity at analysis time (named error, " +
-    "not IndexOutOfBounds)") {
+    "not IndexOutOfBounds) — and accept the correct arity") {
     emb.createOrReplaceTempView("e3")
+    // positive direction first: a builder regression (or a dropped
+    // registration) must fail HERE, not hide behind the intercepts below
+    val ok = spark.sql(
+      "SELECT cosine_e4(embedding, embedding) AS c, simhash64('a b') AS s " +
+        "FROM e3 WHERE vec_id = 0").collect()(0)
+    assert(ok.getLong(0) == 10000L && !ok.isNullAt(1))
     val ex = intercept[Exception] {
       spark.sql("SELECT cosine_e4(embedding) FROM e3").collect()
     }
