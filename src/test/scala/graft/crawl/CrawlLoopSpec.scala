@@ -267,6 +267,21 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(res.seen.collect().map(_.getLong(0)).toSet == sim.seen,
         s"seen set diverges under bloomImpl=$name")
     }
+
+    // resume under "delta": the crash-recovery path re-seeds the driver
+    // segment map DISTRIBUTED (buildSegments over the stored seen deltas,
+    // nBuckets-row collect — no hash transits the driver) and must yield
+    // the identical final crawl
+    val rdir = java.nio.file.Files.createTempDirectory("crawl-bloom-resume")
+    val deltaCfg = crawlCfg.copy(bloomImpl = "delta")
+    CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs,
+      new SnapshotStore(rdir.toString, spark), deltaCfg.copy(maxWaves = 2))
+    val resumed = CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs,
+      new SnapshotStore(rdir.toString, spark), deltaCfg)
+    val engR = resumed.records.as[PageParsers.CrawlRecord]
+      .collect().sortBy(_.crawl_rank).toVector
+    assert(engR == simRecords, "records diverge on delta-bloom resume")
+    assert(resumed.seen.collect().map(_.getLong(0)).toSet == sim.seen)
   }
 
   test("per-wave metrics come from footers/accumulators and match the " +
