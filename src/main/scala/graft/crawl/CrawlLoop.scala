@@ -203,6 +203,11 @@ object CrawlLoop extends Serializable {
     // collect the hashes (one job); large resumes build the segments
     // DISTRIBUTED (UrlSeen.buildSegments) and collect only the nBuckets-row
     // segment table — the driver never sees a hash.
+    // an unrecognized mode would silently keep a stale driver bloom whose
+    // false NEGATIVES bypass the exact anti-join — fail fast instead
+    require(Set("auto", "incremental", "delta", "perwave")(cfg.bloomImpl),
+      s"unknown bloomImpl '${cfg.bloomImpl}' " +
+        "(expected auto | incremental | delta | perwave)")
     val driverBloom = cfg.useBloom && cfg.bloomImpl != "perwave"
     val segMap = scala.collection.mutable.Map[Int, Array[Long]]()
     def addToSeg(h: Long): Unit = UrlSeen.addToSegMap(segMap, h, cfg.seenCfg)
@@ -355,20 +360,27 @@ object CrawlLoop extends Serializable {
         if (wave == 0) seen.select("url_hash").unionByName(newHashes)
         else newHashes
       val bloomMode = waveBloomMode()
-      val hashAcc = new org.apache.spark.util.CollectionAccumulator[Long]()
-      val segAcc = new UrlSeen.SegmentAccumulator(cfg.seenCfg)
-      val seenDelta = bloomMode match {
+      // each arm allocates only its own accumulator and returns the
+      // instrumented delta plus the post-commit absorb step for it
+      val (seenDelta, absorbBloom) = bloomMode match {
         case "incremental" =>
+          val hashAcc = new org.apache.spark.util.CollectionAccumulator[Long]()
           spark.sparkContext.register(hashAcc, s"seen_hashes_w$wave")
-          seenDeltaBase.as[Long]
+          val df = seenDeltaBase.as[Long]
             .mapPartitions(it => it.map { h => hashAcc.add(h); h })
             .toDF("url_hash")
+          (df, () => {
+            val it = hashAcc.value.iterator()
+            while (it.hasNext) addToSeg(it.next())
+          })
         case "delta" =>
+          val segAcc = new UrlSeen.SegmentAccumulator(cfg.seenCfg)
           spark.sparkContext.register(segAcc, s"seen_segments_w$wave")
-          seenDeltaBase.as[Long]
+          val df = seenDeltaBase.as[Long]
             .mapPartitions(it => it.map { h => segAcc.add(h); h })
             .toDF("url_hash")
-        case _ => seenDeltaBase
+          (df, () => orMergeSegs(segAcc.value))
+        case _ => (seenDeltaBase, () => ())
       }
 
       val seedCount = if (wave == 0) seenCount else 0L
@@ -394,10 +406,7 @@ object CrawlLoop extends Serializable {
         metrics
       })
 
-      if (bloomMode == "incremental") {
-        val it = hashAcc.value.iterator()
-        while (it.hasNext) addToSeg(it.next())
-      } else if (bloomMode == "delta") orMergeSegs(segAcc.value)
+      absorbBloom()
 
       // reload state from the committed snapshot: truncates lineage so
       // wave N+1's plan is independent of wave N's

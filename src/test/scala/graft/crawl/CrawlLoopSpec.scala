@@ -282,6 +282,17 @@ class CrawlLoopSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sortBy(_.crawl_rank).toVector
     assert(engR == simRecords, "records diverge on delta-bloom resume")
     assert(resumed.seen.collect().map(_.getLong(0)).toSet == sim.seen)
+
+    // a typo'd mode must fail fast: silently matching no maintenance arm
+    // would leave a permanently stale driver bloom whose false negatives
+    // bypass the exact anti-join (duplicate fetches)
+    val e = intercept[IllegalArgumentException] {
+      CrawlLoop.run(spark, pagesDf, seedsDs, robotsDs,
+        new SnapshotStore(java.nio.file.Files
+          .createTempDirectory("crawl-bloom-typo").toString, spark),
+        crawlCfg.copy(bloomImpl = "per-wave"))
+    }
+    assert(e.getMessage.contains("bloomImpl"))
   }
 
   test("per-wave metrics come from footers/accumulators and match the " +
