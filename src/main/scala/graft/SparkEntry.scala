@@ -48,16 +48,19 @@ object SparkEntry {
     "q17_quality_score" -> (TextQueries.qualityScore _),
     "q18_lang_id" -> (TextQueries.langIdHeuristic _),
     "q19_fingerprint" -> (TextQueries.fingerprint _),
+    "q30_gopher_quality" -> (TextQueries.gopherRepetition _),
     // training-data pipeline: dedup family
     "q20_exact_dedup" -> (DedupQueries.exactDedup _),
     "q21_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "q22_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q23_simhash_pairs" -> (DedupQueries.simhashPairs _),
+    "q31_dup_span_coverage" -> (DedupQueries.dupSpanCoverage _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
     "q26_ann_lsh" -> (SimilarityQueries.annLsh _),
     "q51_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "q52_semdedup" -> (SimilarityQueries.semDedup _),
     // multimodal binary-column plumbing (decode stubbed, plumbing real)
     "q27_media_features" -> (MultimodalQueries.mediaFeatures _),
     "q28_api_lookup" -> (CoreQueries.apiLookup _),
@@ -245,6 +248,95 @@ object SparkEntry {
     "q20_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc""".stripMargin,
+    // q30: DuckDB recomputes every Gopher repetition stat from scratch via
+    // explode + re-group (the formulation the Spark kernel deliberately
+    // avoids — which makes it a fully independent twin); tokenization is
+    // the q21 house form regexp_split_to_array(trim(lower(text)), '\s+'),
+    // and length() is codepoints on both engines.
+    "q30_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tk, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS tk FROM w) GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS d
+        |  FROM tc GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |      ELSE []::VARCHAR[] END) AS g
+        |    FROM w) GROUP BY 1, 2),
+        |topbi AS (
+        |  SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS tb
+        |  FROM bc GROUP BY doc_id),
+        |tg AS (
+        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
+        |    unnest(gs) AS g
+        |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE []::VARCHAR[] END AS gs FROM w)),
+        |dupg AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+        |  WHERE c >= 2),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS cv FROM (
+        |    SELECT t.doc_id, t.p + u.o AS pos
+        |    FROM tg t JOIN dupg d ON d.doc_id = t.doc_id AND d.g = t.g,
+        |      generate_series(0, 2) u(o)) GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(dup.d, 0) AS BIGINT) AS dup_token_positions,
+        |  CAST(coalesce(topbi.tb, 0) AS BIGINT) AS top_bigram_score,
+        |  CAST(coalesce(cov.cv, 0) AS BIGINT) AS dup_trigram_coverage,
+        |  CAST(CASE WHEN coalesce(dup.d, 0) * 100 < len(ws) * 85
+        |    AND coalesce(cov.cv, 0) = 0
+        |    AND coalesce(topbi.tb, 0) * 10 < w.len
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
+        |  LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q31: positions are 0-based on both sides (posexplode ↔
+    // generate_subscripts−1); Spark sequence(p, p+7) inclusive ↔ DuckDB
+    // range(p, p+8) exclusive-end; the pct division is exact-integer /
+    // exact-integer in IEEE double on both engines, then floored.
+    "q31_dup_span_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
+        |    unnest(gs) AS g
+        |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 8 THEN
+        |      list_transform(range(1, len(ws) - 6),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |          ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+        |          ws[i+6] || ' ' || ws[i+7])
+        |    ELSE []::VARCHAR[] END AS gs FROM w)),
+        |dupg AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+        |  WHERE nd >= 2),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS covered
+        |  FROM (
+        |    SELECT t.doc_id, t.p + u.o AS pos
+        |    FROM gr t JOIN dupg d ON d.g = t.g,
+        |      generate_series(0, 7) u(o)) GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_tokens,
+        |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+        |  CAST(floor(coalesce(cov.covered, 0) * 100 / (w.n_tokens * 1.0))
+        |    AS BIGINT) AS coverage_pct
+        |FROM w LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q21_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -339,6 +431,47 @@ object SparkEntry {
         |JOIN qcells p ON a.cell = p.cell, q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
+    // q52: DuckDB recomputes the SemDeDup pipeline independently — the
+    // q51 centroid rationals and argmax cell assignment, then the
+    // within-cell pair scan and the keep-first (lowest vec_id survives)
+    // drop rule.
+    "q52_semdedup" ->
+      """WITH cents AS (
+        |  SELECT j, list_transform(range(0, 64),
+        |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
+        |  FROM generate_series(0, 15) t(j)),
+        |cos AS (
+        |  SELECT e.vec_id, t.j, CAST(floor(
+        |    list_sum(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * t.c[i])) /
+        |    (sqrt(list_sum(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1,65),
+        |      i -> t.c[i] * t.c[i])))) * 10000) AS BIGINT) AS ce4
+        |  FROM embeddings e, cents t),
+        |asn AS (
+        |  SELECT vec_id, CAST(j AS BIGINT) AS cell FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
+        |    FROM cos) WHERE rn = 1),
+        |emb2 AS (
+        |  SELECT e.vec_id, e.label, e.embedding, a.cell
+        |  FROM embeddings e JOIN asn a ON a.vec_id = e.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM emb2 a JOIN emb2 b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(floor(
+        |    list_sum(list_transform(range(1,65),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1,65),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(range(1,65),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) *
+        |    10000) AS BIGINT) >= 3000)
+        |SELECT e.vec_id, e.label, e.cell FROM emb2 e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY e.vec_id""".stripMargin,
     "q29_numeric_sort" ->
       """SELECT doc_id, name, num_key FROM (
         |  SELECT doc_id, source || '_' || lang AS name,

@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
       (children: Seq[Expression]) => GraftExtensions.minhashBuilder(children)))
     ext.injectFunction((
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (children: Seq[Expression]) => GraftExtensions.gramsBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("gopher_stats", GopherStats.apply)(children)))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) =>
@@ -96,6 +105,13 @@ object GraftExtensions {
       if (children.length > 2) intLit("minhash_bands", children(2)) else 8)
   }
 
+  /** word_grams(text[, n=3]) — ordered non-distinct n-grams */
+  def gramsBuilder(children: Seq[Expression]): Expression = {
+    arity("word_grams", children, 1, 2)
+    WordGrams(children.head,
+      if (children.length > 1) intLit("word_grams", children(1)) else 3)
+  }
+
   /** rhp_sig64(vec[, nBits=8]) */
   def rhpSigBuilder(children: Seq[Expression]): Expression = {
     arity("rhp_sig64", children, 1, 2)
@@ -131,6 +147,9 @@ object GraftExtensions {
       shinglesBuilder)
     ColumnBridge.registerTempFunction(spark, "minhash_bands",
       minhashBuilder)
+    ColumnBridge.registerTempFunction(spark, "word_grams", gramsBuilder)
+    ColumnBridge.registerTempFunction(spark, "gopher_stats",
+      unaryBuilder("gopher_stats", GopherStats.apply))
     ColumnBridge.registerTempFunction(spark, "simhash64",
       unaryBuilder("simhash64", SimHash64.apply))
     ColumnBridge.registerTempFunction(spark, "cosine_e4", cosineBuilder)

@@ -1,11 +1,12 @@
 package graft.functions
 
 import java.util.regex.Pattern
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup hot path, with `doGenCode`.
@@ -31,8 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *                               exact semantics of the Scala UDF this
   *                               codegen expression supersedes)
   *
+  * `WordGrams(text, n)`        : string → ordered NON-distinct word
+  *                               n-grams (element i = gram at position i,
+  *                               for positional posexplode)
+  * `GopherStats(text)`         : string → within-document repetition
+  *                               stats struct, one pass (see
+  *                               [[TextKernels.gopherStats]])
+  *
   * Registered as SQL functions `word_shingles` / `minhash_bands` /
-  * `simhash64` by [[GraftExtensions]].
+  * `simhash64` / `word_grams` / `gopher_stats` by [[GraftExtensions]].
   */
 object TextKernels extends Serializable {
   private val Ws = Pattern.compile("\\s+")
@@ -113,6 +121,103 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Ordered, NON-distinct word n-grams (the positional companion of
+    * [[shingles]]): element i is the n-gram starting at token i, so
+    * `posexplode` over the result yields (position, gram) pairs — the
+    * input to cross-document duplicated-span coverage (q31). Empty for
+    * docs shorter than n tokens.
+    */
+  def wordGrams(text: UTF8String, n: Int): ArrayData = {
+    val ws = words(text)
+    if (ws.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ws.length - n + 1)
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var m = 1
+      while (m < n) { sb.append(' ').append(ws(i + m)); m += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def bump(m: java.util.HashMap[String, Integer], k: String): Unit = {
+    val old = m.get(k)
+    m.put(k, if (old == null) 1 else old + 1)
+  }
+
+  /** Within-document repetition statistics (the Gopher-rules family of
+    * webtext quality signals — Rae et al. 2021 §A1.1, adapted to
+    * newline-free text) in ONE pass over the row, zero shuffle:
+    *
+    *   n_tokens             : token count (trim-spaces → lower → split \s+,
+    *                          the same tokenization as [[shingles]])
+    *   dup_token_positions  : positions whose token occurs ≥ 2 times in
+    *                          the document ("fraction of duplicate tokens")
+    *   top_bigram_score     : max over bigrams of occurrences × bigram
+    *                          codepoint length ("characters in the most
+    *                          frequent 2-gram"); 0 below 2 tokens
+    *   dup_trigram_coverage : token positions covered by ≥ 1 trigram that
+    *                          occurs ≥ 2 times in the document (position
+    *                          UNION, the Gopher "characters in duplicated
+    *                          n-grams" shape); 0 below 3 tokens
+    *
+    * All-integer outputs so the DuckDB oracle (q30) compares exactly. The
+    * explode + re-group formulation of these stats shuffles every token
+    * occurrence of the corpus — at 100 TB that is a full-corpus shuffle
+    * for a statistic that never leaves its row; this kernel keeps it a
+    * map-only scan.
+    */
+  def gopherStats(text: UTF8String): InternalRow = {
+    val ws = words(text)
+    val n = ws.length
+    val tc = new java.util.HashMap[String, Integer](n * 2)
+    var i = 0
+    while (i < n) { bump(tc, ws(i)); i += 1 }
+    var dupTok = 0L
+    i = 0
+    while (i < n) { if (tc.get(ws(i)) >= 2) dupTok += 1; i += 1 }
+    var topBi = 0L
+    if (n >= 2) {
+      val bc = new java.util.HashMap[String, Integer](n * 2)
+      i = 0
+      while (i + 2 <= n) { bump(bc, ws(i) + " " + ws(i + 1)); i += 1 }
+      val it = bc.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        // codepoint length = Spark length() = DuckDB length() (NOT Java's
+        // UTF-16 unit count, which diverges on astral-plane chars)
+        val score = e.getValue.toLong *
+          e.getKey.codePointCount(0, e.getKey.length)
+        if (score > topBi) topBi = score
+      }
+    }
+    var cov = 0L
+    if (n >= 3) {
+      val gc = new java.util.HashMap[String, Integer](n * 2)
+      val grams = new Array[String](n - 2)
+      i = 0
+      while (i + 3 <= n) {
+        val g = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+        grams(i) = g
+        bump(gc, g)
+        i += 1
+      }
+      val covered = new Array[Boolean](n)
+      i = 0
+      while (i < grams.length) {
+        if (gc.get(grams(i)) >= 2) {
+          covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) { if (covered(i)) cov += 1; i += 1 }
+    }
+    new GenericInternalRow(Array[Any](n.toLong, dupTok, topBi, cov))
+  }
+
   def simhash64(text: UTF8String): Long = {
     val votes = new Array[Int](64)
     // Java-trim (strips <= 0x20) — byte-identical to the Scala UDF this
@@ -181,6 +286,47 @@ final case class MinhashBands(child: Expression, k: Int, bands: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)
   override def prettyName: String = "minhash_bands"
+}
+
+final case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"word_grams requires n >= 1 (got n=$n)")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("word_grams requires a string argument")
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.wordGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_grams"
+}
+
+object GopherStats {
+  /** Output schema — all-long so every field oracle-compares exactly. */
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_token_positions", LongType, nullable = false),
+    StructField("top_bigram_score", LongType, nullable = false),
+    StructField("dup_trigram_coverage", LongType, nullable = false)))
+}
+
+final case class GopherStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GopherStats.Schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("gopher_stats requires a string argument")
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gopherStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.gopherStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_stats"
 }
 
 final case class SimHash64(child: Expression) extends UnaryExpression {

@@ -105,6 +105,59 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Ordered, non-distinct word n-grams (positional — element i is the
+    * gram at token position i), backed by the codegen
+    * [[graft.functions.WordGrams]] kernel.
+    */
+  def wordGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(graft.functions.WordGrams(
+      ColumnBridge.expression(text), n))
+
+  /** Span window for cross-document duplicated-span coverage. */
+  val SpanN = 8
+
+  /** Cross-document duplicated-span coverage — the postings-list
+    * approximation of exact substring dedup (Lee et al. 2022's
+    * dedup-training-data operator, token-window form): a position is
+    * "covered" when some [[SpanN]]-token window starting at or over it
+    * occurs in ≥ 2 distinct documents. Per doc: covered position count
+    * and integer coverage percent.
+    *
+    * Scale shape: positional grams come from one codegen kernel +
+    * posexplode; the duplicated-gram set is ONE hash aggregation keyed by
+    * gram (map-side partial combine absorbs hot boilerplate grams — no
+    * pair generation anywhere, unlike the q21 postings join, so no df cap
+    * is needed); coverage is explode + distinct + count, all fixed-width
+    * keys after the gram join. At 10^10 docs you'd join on xxhash64(gram)
+    * instead of the gram text (fixed-width shuffle keys; collisions only
+    * ever ADD coverage at ~2⁻⁶⁴ rates) — the string key here is what the
+    * DuckDB oracle can replicate exactly.
+    */
+  def dupSpanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), posexplode(wordGrams(col("text"), SpanN))
+        .as(Seq("p", "g")))
+    val dup = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanN - 1))).as("q"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("coverage_pct",
+        floor(col("covered") * 100 / col("n_tokens")).cast("long"))
+      .select("doc_id", "n_tokens", "covered", "coverage_pct")
+      .orderBy("doc_id")
+  }
+
   val MinhashK = 32 // signature length
   val LshBands = 8 // bands of 4 rows each
 

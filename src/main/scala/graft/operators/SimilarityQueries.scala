@@ -181,15 +181,15 @@ object SimilarityQueries {
     */
   val NearDupBlocks = 4
 
-  /** Embedding near-dup pairs, blocked by label (the natural cluster key,
-    * standing in for an IVF coarse quantizer at scale), with triangle
-    * block-pair expansion inside each label to bound per-task work on hot
-    * labels: within-label pairs with cosine ≥ threshold.
+  /** Within-`key` all-pairs (`vec_a < vec_b`) with triangle block-pair
+    * expansion — see [[NearDupBlocks]]. `emb` must carry `vec_id`,
+    * `embedding`, and the `key` column; emits one row per unordered
+    * within-key pair as (key, vec_a, emb_a, vec_b, emb_b), each pair
+    * exactly once (blocks are monotone in vec_id, so cross-block pairs
+    * always satisfy vec_a < vec_b).
     */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def blockedPairs(emb: DataFrame, key: String): DataFrame = {
     val bN = NearDupBlocks
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
     // monotone block id: contiguous vec_id ranges (global max via a tiny
     // broadcast agg — the highWaterStop pattern, one plan, no collect)
     val mx = emb.agg(max(col("vec_id")).as("mx"))
@@ -200,17 +200,64 @@ object SimilarityQueries {
       .drop("mx")
     val a = blocked
       .withColumn("bj", explode(sequence(col("blk"), lit(bN - 1))))
-      .select(col("label"), col("blk").as("bi"), col("bj"),
+      .select(col(key), col("blk").as("bi"), col("bj"),
         col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = blocked
       .withColumn("bi", explode(sequence(lit(0), col("blk"))))
-      .select(col("label"), col("bi"), col("blk").as("bj"),
+      .select(col(key), col("bi"), col("blk").as("bj"),
         col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label", "bi", "bj"))
+    a.join(b, Seq(key, "bi", "bj"))
       .filter(col("vec_a") < col("vec_b"))
+  }
+
+  /** Embedding near-dup pairs, blocked by label (the natural cluster key,
+    * standing in for an IVF coarse quantizer at scale), with triangle
+    * block-pair expansion inside each label to bound per-task work on hot
+    * labels: within-label pairs with cosine ≥ threshold.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    blockedPairs(emb, "label")
       .select(col("label"), col("vec_a"), col("vec_b"),
         cosE4(col("emb_a"), col("emb_b")).as("cos_e4"))
       .filter(col("cos_e4") >= 3000)
       .orderBy("label", "vec_a", "vec_b")
+  }
+
+  /** Cosine-e4 threshold above which two same-cell vectors are semantic
+    * duplicates (calibrated on the synthetic table: removes 132/500 at
+    * sf0.001 while cross-cell survivors stay).
+    */
+  val SemDedupTau = 3000
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * block the corpus by IVF coarse cell (the paper's k-means cluster,
+    * here the same deterministic [[ivfCell]] quantizer q51 probes), then
+    * inside each cell drop every vector that is ≥ [[SemDedupTau]]-similar
+    * to a LOWER-id vector — keep-first, deterministic, and independent of
+    * execution order (membership depends only on the pair set, not on
+    * which duplicates are themselves dropped, matching the paper's
+    * keep-one-per-ε-ball intent without an iterative chain).
+    *
+    * Scale shape: cell assignment is a narrow map (one kernel call per
+    * centroid); the quadratic stage is confined WITHIN cells — the
+    * all-pairs join never sees the corpus, only co-cell candidates — and
+    * each cell's n² is spread over [[NearDupBlocks]] triangle block-pair
+    * tasks (the [[embedNearDup]] machinery), so a hot cell cannot land in
+    * one straggler task. At 10^10 vectors you'd raise [[IvfCells]] (k ∝ √N
+    * keeps per-cell n² flat) and write the corpus partitioned by cell so
+    * the pair join is shuffle-free.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("cell", ivfCell(col("embedding")).cast("long"))
+    val dups = blockedPairs(emb, "cell")
+      .filter(cosE4(col("emb_a"), col("emb_b")) >= SemDedupTau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    emb.join(dups, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label", "cell")
+      .orderBy("vec_id")
   }
 }

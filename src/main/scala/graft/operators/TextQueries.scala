@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table: token counting, quality scoring, language-ID
@@ -71,6 +72,44 @@ object TextQueries {
           .otherwise("unknown"))
       .orderBy("doc_id")
   }
+
+  /** Within-document repetition stats struct, one codegen kernel pass
+    * ([[graft.functions.GopherStats]]).
+    */
+  def gopherCol(text: Column): Column =
+    ColumnBridge.column(graft.functions.GopherStats(
+      ColumnBridge.expression(text)))
+
+  /** Gopher-style repetition quality filter (Rae et al. 2021 §A1.1,
+    * adapted to newline-free text): per-document duplicate-token fraction,
+    * most-frequent-bigram character share, and duplicate-trigram position
+    * coverage, plus the keep/drop decision — all integer-encoded so the
+    * DuckDB oracle compares exactly.
+    *
+    * Plan shape: the stats struct is computed ONCE per row by the kernel
+    * and expanded through `inline` (a generator — evaluated in
+    * GenerateExec, NOT re-inlined per consumer by projection collapse the
+    * way a struct-field select would be), then the keep flag is integer
+    * arithmetic over the generated columns. One map-only scan, zero
+    * shuffle — the explode + re-group twin of these stats would shuffle
+    * every token occurrence of a 100 TB corpus for a per-row statistic.
+    *
+    * Keep rule (thresholds picked to split the synthetic corpus, the
+    * Gopher paper's spirit not its web-text constants): duplicate-token
+    * positions < 85% of tokens AND no duplicated trigram AND top bigram
+    * < 10% of characters.
+    */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        inline(array(gopherCol(col("text")))))
+      .withColumn("keep",
+        (col("dup_token_positions") * 100 < col("n_tokens") * 85 &&
+          col("dup_trigram_coverage") === 0 &&
+          col("top_bigram_score") * 10 < col("len")).cast("long"))
+      .select("doc_id", "n_tokens", "dup_token_positions",
+        "top_bigram_score", "dup_trigram_coverage", "keep")
+      .orderBy("doc_id")
 
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char

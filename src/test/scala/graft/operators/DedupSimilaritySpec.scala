@@ -143,6 +143,64 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists(t => t._2 == 0L && t._3 == 4L))
   }
 
+  test("dup-span coverage: exact dups are fully covered, the planted " +
+    "near-dup is covered except the window around its changed word, " +
+    "unrelated docs are untouched") {
+    val rows = DedupQueries.dupSpanCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows(1L) == ((40L, 40L, 100L)))
+    assert(rows(2L) == ((40L, 40L, 100L)))
+    // doc 3 differs from 1/2 only at 0-based position 19: shared 8-token
+    // spans p ≤ 11 cover 0..18 and p ≥ 20 cover 20..39 → 39 of 40
+    assert(rows(3L) == ((40L, 39L, 97L)))
+    assert(rows(4L)._2 == 0L && rows(4L)._3 == 0L)
+    assert(rows(5L)._2 == 0L)
+  }
+
+  /** Driver-side twin of the CosineE4 kernel: same index-order left fold
+    * in double, same floor discretization.
+    */
+  private def cosE4Ref(a: Seq[Float], b: Seq[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0).toLong
+  }
+
+  test("semantic dedup drops exactly the vectors ≥ tau-similar to a " +
+    "lower-id vector in their cell (brute-force cross-check)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        SimilarityQueries.ivfCell(col("embedding")).as("cell"),
+        col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect().sortBy(_._1)
+    val expectDrop = (for {
+      (a, ca, ea) <- emb; (b, cb, eb) <- emb
+      if a < b && ca == cb &&
+        cosE4Ref(ea, eb) >= SimilarityQueries.SemDedupTau
+    } yield b).toSet
+    // the planted structure: vec 1 (2×query, same cell as 0) must drop;
+    // vec 0 (lowest id) must survive
+    assert(expectDrop.contains(1L) && !expectDrop.contains(0L))
+    val got = SimilarityQueries.semDedup(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == emb.map(_._1).toSet -- expectDrop)
+  }
+
+  test("semantic dedup on the real embeddings table matches the " +
+    "calibrated survivor count (deterministic input)") {
+    val n = SimilarityQueries.semDedup(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(n == 368L, s"survivors=$n") // 500 − 132 calibrated removals
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()

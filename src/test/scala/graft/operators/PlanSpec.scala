@@ -109,6 +109,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("gopher quality (q30): map-only — ONE scan, no shuffle anywhere " +
+    "before the presentation sort, stats kernel + inline in codegen " +
+    "(no UDF, no HOF lambda)") {
+    val p = plan(TextQueries.gopherRepetition(spark, dir))
+    assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
+      s"non-codegen eval in the quality hot path:\n$p")
+    // exactly one exchange: the final orderBy's range partitioning — the
+    // stats themselves must NEVER shuffle (that's the kernel's point).
+    // Count only the AQE final plan, not the echoed initial plan.
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("Exchange").length - 1 <= 1,
+      s"extra shuffle in:\n$p")
+  }
+
+  test("dup-span coverage (q31): explode-based gram postings, equi-joins " +
+    "only (no cartesian), kernel gram generation (no UDF)") {
+    val p = plan(DedupQueries.dupSpanCoverage(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"), s"UDF in the span hot path:\n$p")
+    assert(p.contains("Generate"), s"no generator pair-gen in:\n$p")
+  }
+
+  test("semantic dedup (q52): cell-blocked equi-join — no cartesian, no " +
+    "interpreted lambda, anti-join for the survivor set") {
+    val p = plan(SimilarityQueries.semDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("lambdafunction") && !p.contains("ScalaUDF"),
+      s"non-codegen cosine in the semdedup hot path:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti-join survivor filter in:\n$p")
+  }
+
   test("zotero priority dedup: aggregation-based sectioning — no window " +
     "over the whole corpus, no cartesian") {
     val p = plan(CoreQueries.zoteroPriorityDedup(spark, dir))
