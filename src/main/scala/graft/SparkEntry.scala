@@ -55,6 +55,7 @@ object SparkEntry {
     "q22_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q23_simhash_pairs" -> (DedupQueries.simhashPairs _),
     "q31_dup_span_coverage" -> (DedupQueries.dupSpanCoverage _),
+    "q53_corpus_funnel" -> (TextQueries.corpusFunnel _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
@@ -98,6 +99,88 @@ object SparkEntry {
       .mkString("[", ",", "]")
     s"($j, $signs)"
   }.mkString(", ")
+
+  /** Shared DuckDB CTE blocks: the Gopher-stat recompute (q30 + q53) and
+    * the 8-token span-coverage recompute (q31 + q53) — ONE definition
+    * each, so the funnel oracle can never drift from the per-stage
+    * oracles it composes.
+    */
+  private val gopherCtes: String =
+    """w AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, tk, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(ws) AS tk FROM w) GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS d
+      |  FROM tc GROUP BY doc_id),
+      |bc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+      |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |      ELSE []::VARCHAR[] END) AS g
+      |    FROM w) GROUP BY 1, 2),
+      |topbi AS (
+      |  SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS tb
+      |  FROM bc GROUP BY doc_id),
+      |tg AS (
+      |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
+      |    unnest(gs) AS g
+      |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+      |      list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE []::VARCHAR[] END AS gs FROM w)),
+      |dupg AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+      |  WHERE c >= 2),
+      |cov AS (
+      |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS cv FROM (
+      |    SELECT t.doc_id, t.p + u.o AS pos
+      |    FROM tg t JOIN dupg d ON d.doc_id = t.doc_id AND d.g = t.g,
+      |      generate_series(0, 2) u(o)) GROUP BY doc_id)""".stripMargin
+
+  /** The q30 keep rule over the [[gopherCtes]] join row. */
+  private val gopherKeepSql: String =
+    """CAST(CASE WHEN coalesce(dup.d, 0) * 100 < len(ws) * 85
+      |    AND coalesce(cov.cv, 0) = 0
+      |    AND coalesce(topbi.tb, 0) * 10 < w.len
+      |    THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
+
+  private val spanCtes: String =
+    """w8 AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |gr8 AS (
+      |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
+      |    unnest(gs) AS g
+      |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 8 THEN
+      |      list_transform(range(1, len(ws) - 6),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |          ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+      |          ws[i+6] || ' ' || ws[i+7])
+      |    ELSE []::VARCHAR[] END AS gs FROM w8)),
+      |dupg8 AS (
+      |  SELECT g FROM (
+      |    SELECT g, count(DISTINCT doc_id) AS nd FROM gr8 GROUP BY g)
+      |  WHERE nd >= 2),
+      |cov8 AS (
+      |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS covered
+      |  FROM (
+      |    SELECT t.doc_id, t.p + u.o AS pos
+      |    FROM gr8 t JOIN dupg8 d ON d.g = t.g,
+      |      generate_series(0, 7) u(o)) GROUP BY doc_id)""".stripMargin
+
+  /** The q31 integer coverage percent over the [[spanCtes]] join row. */
+  private val spanPctSql: String =
+    """CAST(floor(coalesce(cov8.covered, 0) * 100 / (w8.n_tokens * 1.0))
+      |    AS BIGINT)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_lsh" ->
@@ -252,52 +335,14 @@ object SparkEntry {
     // explode + re-group (the formulation the Spark kernel deliberately
     // avoids — which makes it a fully independent twin); tokenization is
     // the q21 house form regexp_split_to_array(trim(lower(text)), '\s+'),
-    // and length() is codepoints on both engines.
+    // and length() is codepoints on both engines. CTEs shared with q53.
     "q30_gopher_quality" ->
-      """WITH w AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
-        |tc AS (
-        |  SELECT doc_id, tk, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(ws) AS tk FROM w) GROUP BY 1, 2),
-        |dup AS (
-        |  SELECT doc_id,
-        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS d
-        |  FROM tc GROUP BY doc_id),
-        |bc AS (
-        |  SELECT doc_id, g, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
-        |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
-        |      ELSE []::VARCHAR[] END) AS g
-        |    FROM w) GROUP BY 1, 2),
-        |topbi AS (
-        |  SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS tb
-        |  FROM bc GROUP BY doc_id),
-        |tg AS (
-        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
-        |    unnest(gs) AS g
-        |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
-        |      list_transform(range(1, len(ws) - 1),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE []::VARCHAR[] END AS gs FROM w)),
-        |dupg AS (
-        |  SELECT doc_id, g FROM (
-        |    SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
-        |  WHERE c >= 2),
-        |cov AS (
-        |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS cv FROM (
-        |    SELECT t.doc_id, t.p + u.o AS pos
-        |    FROM tg t JOIN dupg d ON d.doc_id = t.doc_id AND d.g = t.g,
-        |      generate_series(0, 2) u(o)) GROUP BY doc_id)
+      s"""WITH $gopherCtes
         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(dup.d, 0) AS BIGINT) AS dup_token_positions,
         |  CAST(coalesce(topbi.tb, 0) AS BIGINT) AS top_bigram_score,
         |  CAST(coalesce(cov.cv, 0) AS BIGINT) AS dup_trigram_coverage,
-        |  CAST(CASE WHEN coalesce(dup.d, 0) * 100 < len(ws) * 85
-        |    AND coalesce(cov.cv, 0) = 0
-        |    AND coalesce(topbi.tb, 0) * 10 < w.len
-        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |  $gopherKeepSql AS keep
         |FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
         |  LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
@@ -305,37 +350,38 @@ object SparkEntry {
     // generate_subscripts−1); Spark sequence(p, p+7) inclusive ↔ DuckDB
     // range(p, p+8) exclusive-end; the pct division is exact-integer /
     // exact-integer in IEEE double on both engines, then floored.
+    // CTEs shared with q53.
     "q31_dup_span_coverage" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens
+      s"""WITH $spanCtes
+        |SELECT w8.doc_id, w8.n_tokens,
+        |  CAST(coalesce(cov8.covered, 0) AS BIGINT) AS covered,
+        |  $spanPctSql AS coverage_pct
+        |FROM w8 LEFT JOIN cov8 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q53: the funnel twin composes the SAME shared CTE blocks the q30 /
+    // q31 oracles run, plus a window-min exact-dedup stage, so each
+    // stage flag is recomputed by DuckDB from raw documents.
+    "q53_corpus_funnel" ->
+      s"""WITH $gopherCtes,
+        |$spanCtes,
+        |gk AS (
+        |  SELECT w.doc_id, $gopherKeepSql AS gopher_keep
+        |  FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
+        |    LEFT JOIN cov USING (doc_id)),
+        |dk AS (
+        |  SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id)
+        |      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS dedup_keep
         |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
-        |    unnest(gs) AS g
-        |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 8 THEN
-        |      list_transform(range(1, len(ws) - 6),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-        |          ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
-        |          ws[i+6] || ' ' || ws[i+7])
-        |    ELSE []::VARCHAR[] END AS gs FROM w)),
-        |dupg AS (
-        |  SELECT g FROM (
-        |    SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
-        |  WHERE nd >= 2),
-        |cov AS (
-        |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS covered
-        |  FROM (
-        |    SELECT t.doc_id, t.p + u.o AS pos
-        |    FROM gr t JOIN dupg d ON d.g = t.g,
-        |      generate_series(0, 7) u(o)) GROUP BY doc_id)
-        |SELECT w.doc_id, w.n_tokens,
-        |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
-        |  CAST(floor(coalesce(cov.covered, 0) * 100 / (w.n_tokens * 1.0))
-        |    AS BIGINT) AS coverage_pct
-        |FROM w LEFT JOIN cov USING (doc_id)
+        |sk AS (
+        |  SELECT w8.doc_id,
+        |    CAST(CASE WHEN $spanPctSql < 50 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS span_keep
+        |  FROM w8 LEFT JOIN cov8 USING (doc_id))
+        |SELECT gk.doc_id, gk.gopher_keep, dk.dedup_keep, sk.span_keep,
+        |  CAST(CASE WHEN gk.gopher_keep = 1 AND dk.dedup_keep = 1
+        |    AND sk.span_keep = 1 THEN 1 ELSE 0 END AS BIGINT) AS final_keep
+        |FROM gk JOIN dk USING (doc_id) JOIN sk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q21_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,

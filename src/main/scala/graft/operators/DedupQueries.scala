@@ -133,8 +133,13 @@ object DedupQueries {
     * ever ADD coverage at ~2⁻⁶⁴ rates) — the string key here is what the
     * DuckDB oracle can replicate exactly.
     */
-  def dupSpanCoverage(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def dupSpanCoverage(s: SparkSession, dir: String): DataFrame =
+    spanCoverage(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** [[dupSpanCoverage]] over an explicit `(doc_id, text)` frame,
+    * unsorted — shared with [[TextQueries.corpusFunnel]].
+    */
+  private[operators] def spanCoverage(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), posexplode(wordGrams(col("text"), SpanN))
         .as(Seq("p", "g")))
@@ -155,7 +160,6 @@ object DedupQueries {
       .withColumn("coverage_pct",
         floor(col("covered") * 100 / col("n_tokens")).cast("long"))
       .select("doc_id", "n_tokens", "covered", "coverage_pct")
-      .orderBy("doc_id")
   }
 
   val MinhashK = 32 // signature length

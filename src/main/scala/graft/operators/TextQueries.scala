@@ -99,17 +99,66 @@ object TextQueries {
     * positions < 85% of tokens AND no duplicated trigram AND top bigram
     * < 10% of characters.
     */
-  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** Per-doc Gopher stats + keep flag over a `(doc_id, text)` frame,
+    * unsorted — shared by [[gopherRepetition]] and [[corpusFunnel]] so the
+    * keep rule has exactly one definition.
+    */
+  private[operators] def gopherFlags(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), length(col("text")).cast("long").as("len"),
         inline(array(gopherCol(col("text")))))
       .withColumn("keep",
         (col("dup_token_positions") * 100 < col("n_tokens") * 85 &&
           col("dup_trigram_coverage") === 0 &&
           col("top_bigram_score") * 10 < col("len")).cast("long"))
+
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(t(s, dir, "documents"))
       .select("doc_id", "n_tokens", "dup_token_positions",
         "top_bigram_score", "dup_trigram_coverage", "keep")
       .orderBy("doc_id")
+
+  /** The corpus-curation funnel — the three document-level cleaning
+    * stages a webtext training set actually passes through, composed as
+    * ONE DAG with a keep flag per stage (so the funnel is auditable:
+    * which stage dropped each document):
+    *
+    *   gopher_keep : repetition quality ([[gopherFlags]] — map-only
+    *                 kernel pass)
+    *   dedup_keep  : exact dedup, keep-first — doc_id equals the min
+    *                 doc_id of its text group (one window over the text
+    *                 partition; at 10^10 docs you'd partition by
+    *                 xxhash64(text) — fixed-width shuffle key, same
+    *                 groups at ~2⁻⁶⁴ collision rates — exactly as q20's
+    *                 scaladoc describes)
+    *   span_keep   : cross-document duplicated-span coverage < 50%
+    *                 ([[DedupQueries.spanCoverage]] postings machinery)
+    *
+    * final_keep = AND of the three. Each stage reads the documents scan
+    * once; the flag joins are all on `doc_id` (co-partitioned after the
+    * first shuffle). No stage gates another — flags are computed
+    * independently so the funnel audit sees EVERY stage's verdict per
+    * doc, the shape you want when tuning thresholds over 100 TB (a gated
+    * pipeline would hide stage-2+ verdicts for stage-1 drops and
+    * re-shuffle per stage).
+    */
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val g = gopherFlags(docs)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val d = docs.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+        .cast("long").as("dedup_keep"))
+    val sp = DedupQueries.spanCoverage(docs)
+      .select(col("doc_id"),
+        (col("coverage_pct") < 50).cast("long").as("span_keep"))
+    g.join(d, "doc_id").join(sp, "doc_id")
+      .withColumn("final_keep",
+        (col("gopher_keep") === 1 && col("dedup_keep") === 1 &&
+          col("span_keep") === 1).cast("long"))
+      .orderBy("doc_id")
+  }
 
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char

@@ -158,6 +158,35 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(5L)._2 == 0L)
   }
 
+  test("corpus funnel: per-stage flags are each stage's own verdict and " +
+    "final_keep is their conjunction") {
+    val rows = TextQueries.corpusFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // docs 1-3: clean repetition stats but near/exact dup spans ≥ 50%
+    assert(rows(1L) == ((1L, 1L, 0L, 0L)))
+    assert(rows(2L) == ((1L, 0L, 0L, 0L))) // exact dup of 1 → dedup drop
+    assert(rows(3L) == ((1L, 1L, 0L, 0L)))
+    // docs 4-5: unique content (span_keep) but so short that one bigram
+    // exceeds 10% of characters → the gopher stage drops them
+    assert(rows(4L) == ((0L, 1L, 1L, 0L)))
+    assert(rows(5L) == ((0L, 1L, 1L, 0L)))
+  }
+
+  test("corpus funnel on the real documents table: discriminative (keeps " +
+    "some, drops some) and final_keep ≡ AND of the stages on every row") {
+    val rows = TextQueries.corpusFunnel(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expect = if (r.getLong(1) == 1L && r.getLong(2) == 1L &&
+        r.getLong(3) == 1L) 1L else 0L
+      assert(r.getLong(4) == expect, s"final_keep broke at doc ${r.getLong(0)}")
+    }
+    val kept = rows.count(_.getLong(4) == 1L)
+    assert(kept > 0 && kept < 500, s"funnel not discriminative: kept=$kept")
+  }
+
   /** Driver-side twin of the CosineE4 kernel: same index-order left fold
     * in double, same floor discretization.
     */

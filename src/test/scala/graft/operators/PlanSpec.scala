@@ -140,6 +140,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"no anti-join survivor filter in:\n$p")
   }
 
+  test("corpus funnel (q53): three independent stage flags joined on " +
+    "doc_id — no cartesian, no UDF, and the only window is the exact-" +
+    "dedup min-per-text") {
+    val p = plan(graft.operators.TextQueries.corpusFunnel(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"), s"UDF in the funnel:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("Window").length - 1 <= 1,
+      s"unexpected extra window in:\n$p")
+  }
+
   test("zotero priority dedup: aggregation-based sectioning — no window " +
     "over the whole corpus, no cartesian") {
     val p = plan(CoreQueries.zoteroPriorityDedup(spark, dir))
