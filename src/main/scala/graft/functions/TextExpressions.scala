@@ -306,12 +306,17 @@ final case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object GopherStats {
-  /** Output schema — all-long so every field oracle-compares exactly. */
+  /** Output schema — all-long so every field oracle-compares exactly.
+    * Fields are declared NULLABLE: the expression itself is null for null
+    * text, and a null struct routed through `inline(array(..))` emits a
+    * null-fielded row — nullable=false here would let codegen skip null
+    * checks on columns that can in fact be null.
+    */
   val Schema: StructType = StructType(Seq(
-    StructField("n_tokens", LongType, nullable = false),
-    StructField("dup_token_positions", LongType, nullable = false),
-    StructField("top_bigram_score", LongType, nullable = false),
-    StructField("dup_trigram_coverage", LongType, nullable = false)))
+    StructField("n_tokens", LongType, nullable = true),
+    StructField("dup_token_positions", LongType, nullable = true),
+    StructField("top_bigram_score", LongType, nullable = true),
+    StructField("dup_trigram_coverage", LongType, nullable = true)))
 }
 
 final case class GopherStats(child: Expression) extends UnaryExpression {

@@ -124,14 +124,17 @@ object DedupQueries {
     * and integer coverage percent.
     *
     * Scale shape: positional grams come from one codegen kernel +
-    * posexplode; the duplicated-gram set is ONE hash aggregation keyed by
-    * gram (map-side partial combine absorbs hot boilerplate grams — no
-    * pair generation anywhere, unlike the q21 postings join, so no df cap
-    * is needed); coverage is explode + distinct + count, all fixed-width
-    * keys after the gram join. At 10^10 docs you'd join on xxhash64(gram)
-    * instead of the gram text (fixed-width shuffle keys; collisions only
-    * ever ADD coverage at ~2⁻⁶⁴ rates) — the string key here is what the
-    * DuckDB oracle can replicate exactly.
+    * posexplode, generated and shuffled ONCE — the duplicated flag is
+    * `min(doc_id) ≠ max(doc_id)` over the gram window (exactly "≥ 2
+    * distinct docs", no collect, linear per group even on hot boilerplate
+    * grams), which avoids the agg-branch/join-branch twin that would run
+    * the gram map stage twice and sort it again inside a sort-merge join.
+    * No pair generation anywhere, unlike the q21 postings join, so no df
+    * cap is needed; coverage is explode + distinct + count. At 10^10 docs
+    * you'd key the shuffle on xxhash64(gram) instead of the gram text
+    * (fixed-width keys; collisions only ever ADD coverage at ~2⁻⁶⁴
+    * rates) — the string key here is what the DuckDB oracle can
+    * replicate exactly.
     */
   def dupSpanCoverage(s: SparkSession, dir: String): DataFrame =
     spanCoverage(t(s, dir, "documents")).orderBy("doc_id")
@@ -143,11 +146,11 @@ object DedupQueries {
     val grams = docs
       .select(col("doc_id"), posexplode(wordGrams(col("text"), SpanN))
         .as(Seq("p", "g")))
-    val dup = grams.groupBy("g")
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select("g")
-    val covered = grams.join(dup, "g")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val covered = grams
+      .withColumn("dup",
+        min(col("doc_id")).over(byGram) =!= max(col("doc_id")).over(byGram))
+      .filter(col("dup"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (SpanN - 1))).as("q"))
       .distinct()

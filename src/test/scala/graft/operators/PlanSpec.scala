@@ -123,12 +123,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"extra shuffle in:\n$p")
   }
 
-  test("dup-span coverage (q31): explode-based gram postings, equi-joins " +
-    "only (no cartesian), kernel gram generation (no UDF)") {
+  test("dup-span coverage (q31): the gram kernel runs ONCE (no twin " +
+    "agg/join branches recomputing the map stage), no cartesian, no UDF") {
     val p = plan(DedupQueries.dupSpanCoverage(spark, dir))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"), s"UDF in the span hot path:\n$p")
     assert(p.contains("Generate"), s"no generator pair-gen in:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("word_grams").length - 1 == 1,
+      s"gram generation duplicated in:\n$p")
   }
 
   test("semantic dedup (q52): cell-blocked equi-join — no cartesian, no " +
@@ -141,13 +144,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("corpus funnel (q53): three independent stage flags joined on " +
-    "doc_id — no cartesian, no UDF, and the only window is the exact-" +
-    "dedup min-per-text") {
+    "doc_id — no cartesian, no UDF, and exactly the two designed windows " +
+    "(exact-dedup min-per-text + the span dup-gram flag)") {
     val p = plan(graft.operators.TextQueries.corpusFunnel(spark, dir))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"), s"UDF in the funnel:\n$p")
     val finalPlan = p.split("== Initial Plan ==").head
-    assert(finalPlan.split("Window").length - 1 <= 1,
+    assert(finalPlan.split("Window \\[").length - 1 <= 2,
       s"unexpected extra window in:\n$p")
   }
 
