@@ -174,6 +174,32 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(astral.getLong(2) == 5 && astral.getLong(3) == 0)
   }
 
+  test("gopher_stats + word_grams on a 100-doc seeded random corpus " +
+    "(small vocab → dense dup-token/bigram/trigram branches) == twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "cc", "dd", "the", "of", "x1", "y2", "zz",
+      "word")
+    val docs = (1 to 100).map { _ =>
+      val n = rnd.nextInt(30)
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val rows = docs.toDF("text")
+      .select(col("text"),
+        graft.operators.TextQueries.gopherCol(col("text")).as("g"),
+        DedupQueries.wordGrams(col("text"), 3).as("w"),
+        hofGrams(col("text")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val exp = gopherRef(r.getString(0))
+      val g = r.getStruct(1)
+      assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3)) == exp,
+        s"gopher mismatch for '${r.getString(0)}'")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"grams mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("word_grams / gopher_stats builders: arity and n >= 1 validated at " +
     "analysis time — and the correct arity works") {
     import spark.implicits._

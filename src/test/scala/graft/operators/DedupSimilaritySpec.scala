@@ -158,6 +158,79 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(5L)._2 == 0L)
   }
 
+  test("span coverage on a seeded random corpus with planted copies and " +
+    "mutations matches a brute-force recomputation exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val base = (1 to 60).map { _ =>
+      val n = 3 + rnd.nextInt(30)
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // copies create full-overlap spans; mid-word mutations create the
+    // partial-coverage window geometry the fixture test pins by hand
+    val texts = base ++ base.take(15) ++ base.slice(15, 25).map { t =>
+      val ws = t.split(" "); ws(ws.length / 2) = "MUT"; ws.mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = DedupQueries.spanCoverage(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val n = DedupQueries.SpanN
+    def toks(t: String) =
+      t.toLowerCase(java.util.Locale.ROOT).split("\\s+").toVector
+    val grams = docs.map { case (id, t) =>
+      val ws = toks(t)
+      id -> (if (ws.length < n) Vector.empty
+             else (0 to ws.length - n)
+               .map(p => (p, ws.slice(p, p + n).mkString(" "))).toVector)
+    }.toMap
+    val gramDocs = grams.toSeq
+      .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    var anyCovered = false
+    docs.foreach { case (id, t) =>
+      val nt = toks(t).length.toLong
+      val cov = grams(id)
+        .collect { case (p, g) if gramDocs(g) >= 2 => p until (p + n) }
+        .flatten.distinct.size.toLong
+      if (cov > 0) anyCovered = true
+      assert(got(id) == ((nt, cov, math.floor(cov * 100.0 / nt).toLong)),
+        s"doc $id")
+    }
+    assert(anyCovered) // the planted copies guarantee a non-trivial check
+  }
+
+  test("semantic dedup on a seeded random embedding table (planted " +
+    "same-direction dups) matches brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def v(): Seq[Float] = Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 60).map(i => (i.toLong, v(), i % 4))
+    val planted = (0 until 20).map { i =>
+      val (_, e, l) = base(rnd.nextInt(60))
+      ((60 + i).toLong, e.map(x => x * 1.5f), l) // same direction: cos ≈ 1
+    }
+    val d = java.nio.file.Files.createTempDirectory("semdedup-rand").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"),
+        SimilarityQueries.ivfCell(col("embedding")).as("cell"),
+        col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect().sortBy(_._1)
+    val drop = (for {
+      (a, ca, ea) <- emb; (b, cb, eb) <- emb
+      if a < b && ca == cb &&
+        cosE4Ref(ea, eb) >= SimilarityQueries.SemDedupTau
+    } yield b).toSet
+    assert(drop.nonEmpty) // the planted duplicates guarantee drops
+    val got = SimilarityQueries.semDedup(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == emb.map(_._1).toSet -- drop)
+  }
+
   test("corpus funnel: per-stage flags are each stage's own verdict and " +
     "final_keep is their conjunction") {
     val rows = TextQueries.corpusFunnel(spark, dir).collect()
