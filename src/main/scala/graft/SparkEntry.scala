@@ -56,6 +56,7 @@ object SparkEntry {
     "q23_simhash_pairs" -> (DedupQueries.simhashPairs _),
     "q31_dup_span_coverage" -> (DedupQueries.dupSpanCoverage _),
     "q53_corpus_funnel" -> (TextQueries.corpusFunnel _),
+    "q54_pii_scrub" -> (TextQueries.piiScrub _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
@@ -331,6 +332,25 @@ object SparkEntry {
     "q20_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc""".stripMargin,
+    // q54: the regex constants are interpolated from the SAME Scala vals
+    // the Spark query compiles (no drift); DuckDB needs the explicit 'g'
+    // flag where Spark's regexp_replace is global by default.
+    "q54_pii_scrub" ->
+      s"""WITH raw AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id ||
+        |    '@example.com or admin@host' || (doc_id % 7) ||
+        |    '.org via 10.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+        |    '.7 bye' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '${TextQueries.EmailRe}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '${TextQueries.Ipv4Re}'))
+        |    AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(raw,
+        |    '${TextQueries.EmailRe}', '<EMAIL>', 'g'),
+        |    '${TextQueries.Ipv4Re}', '<IP>', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin,
     // q30: DuckDB recomputes every Gopher repetition stat from scratch via
     // explode + re-group (the formulation the Spark kernel deliberately
     // avoids — which makes it a fully independent twin); tokenization is

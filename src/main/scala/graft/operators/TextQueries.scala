@@ -160,6 +160,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII patterns — ASCII-only constructs so Java regex (Spark) and RE2
+    * (the DuckDB oracle) agree on `\b` word boundaries and classes.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Email-then-IPv4 redaction (order pinned — both engines apply the
+    * same two global passes). Idempotent: the replacement tokens contain
+    * no PII shapes.
+    */
+  def scrubbed(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  /** PII scrubbing (q54) — the redaction stage every published webtext
+    * pipeline runs before training (emails + IPv4s here; the same shape
+    * extends to phone/SSN patterns). The synthetic corpus carries no PII,
+    * so the query deterministically INJECTS per-doc PII first (both
+    * engines compute the identical raw string from doc_id arithmetic) and
+    * the operator under test — count + global redaction — then does real
+    * work on every row. Map-only: two codegen'd regex passes per row,
+    * zero shuffle before the presentation sort; at 100 TB this runs at
+    * scan speed, which is why redaction is a projection and not a join
+    * against a PII table.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("raw",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or admin@host"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".org via 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"), lit(".7 bye")))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        scrubbed(col("raw")).as("redacted"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char
     * class histogram) for cheap near-dup pre-clustering at 100 TB scale.

@@ -231,6 +231,41 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == emb.map(_._1).toSet -- drop)
   }
 
+  test("pii scrub: counts and redaction on tricky shapes; idempotent on " +
+    "already-redacted text; the q54 injection yields 2 emails + 1 ip") {
+    import spark.implicits._
+    val texts = Seq(
+      "a@b.co x 1.2.3.4 end", // minimal email + ip
+      "user.name+tag%x@my-host.org and 999.999.999.999", // regex doesn't range-check
+      "not-an-ip 1.2.3 nor 1234.5.6.7 nor email@nodot", // near-misses stay
+      "two a@b.io b@c.io ips 10.0.0.1 10.0.0.2")
+    val rows = texts.toDF("t")
+      .select(col("t"), TextQueries.scrubbed(col("t")).as("r"),
+        regexp_count(col("t"), lit(TextQueries.EmailRe)).cast("int").as("ne"),
+        regexp_count(col("t"), lit(TextQueries.Ipv4Re)).cast("int").as("ni"),
+        TextQueries.scrubbed(TextQueries.scrubbed(col("t"))).as("rr"))
+      .collect()
+    val byText = rows.map(r => r.getString(0) ->
+      ((r.getString(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(byText(texts(0)) ==
+      (("<EMAIL> x <IP> end", 1, 1, "<EMAIL> x <IP> end")))
+    assert(byText(texts(1))._1 == "<EMAIL> and <IP>")
+    assert(byText(texts(2)) == ((texts(2), 0, 0, texts(2))))
+    assert(byText(texts(3)) == (("two <EMAIL> <EMAIL> ips <IP> <IP>", 2, 2,
+      "two <EMAIL> <EMAIL> ips <IP> <IP>")))
+    rows.foreach(r => assert(r.getString(1) == r.getString(4), "not idempotent"))
+    // the q54 query over the fixture: every doc gets exactly the injected
+    // 2 emails + 1 ip (the fixture texts carry none of their own)
+    val q = TextQueries.piiScrub(spark, dir).collect()
+    assert(q.length == 5)
+    q.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+      val red = r.getString(3)
+      assert(red.contains("<EMAIL> or <EMAIL>") && red.contains("via <IP> bye"))
+      assert(!red.contains("@example.com"))
+    }
+  }
+
   test("corpus funnel: per-stage flags are each stage's own verdict and " +
     "final_keep is their conjunction") {
     val rows = TextQueries.corpusFunnel(spark, dir).collect()
