@@ -103,7 +103,7 @@ object TextQueries {
     * unsorted — shared by [[gopherRepetition]] and [[corpusFunnel]] so the
     * keep rule has exactly one definition.
     */
-  private[operators] def gopherFlags(docs: DataFrame): DataFrame =
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), length(col("text")).cast("long").as("len"),
         inline(array(gopherCol(col("text")))))

@@ -41,6 +41,20 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("status"), col("n"))
 
+  /** Stateless streaming quality gate — the q30 Gopher repetition rule
+    * applied per micro-batch row. A pure projection + generate + filter:
+    * NO state store, no watermark needed, so it composes before any
+    * stateful stage and runs at scan speed on a 100 TB/day feed. Reuses
+    * the exact batch kernel + keep rule
+    * ([[graft.operators.TextQueries.gopherFlags]]), so the curation
+    * verdict is execution-mode-agnostic by construction — the spec
+    * proves batch ≡ stream survivor sets on the same doc log.
+    */
+  def streamingQualityGate(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.gopherFlags(docs)
+      .filter(col("keep") === 1)
+      .select("doc_id", "n_tokens")
+
   /** Per-host running fetch budget over the stream — an update-mode
     * aggregation keyed by host, the streaming analogue of the politeness
     * scheduler's per-host accounting (A5).

@@ -163,6 +163,44 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { qb.stop(); qd.stop() }
   }
 
+  test("streaming quality gate ≡ the batch q30 keep set on the same doc " +
+    "log, delivered across multiple micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // half clean docs (wide vocab, little repetition → keep), half
+    // degenerate (tiny vocab, heavy repetition → drop); seeded
+    val rnd = new scala.util.Random(13)
+    val wide = Vector.tabulate(40)(i => s"tok$i")
+    val tiny = Vector("a", "b")
+    val docs = (0 until 40).map { i =>
+      val (vocab, n) =
+        if (i % 2 == 0) (wide, 12 + rnd.nextInt(20))
+        else (tiny, 6 + rnd.nextInt(20))
+      (i.toLong,
+        (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val batch = graft.operators.TextQueries
+      .gopherFlags(docs.toDF("doc_id", "text"))
+      .filter($"keep" === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < docs.size,
+      s"corpus not discriminative: ${batch.size}/${docs.size}")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingQualityGate(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = docs.splitAt(docs.size / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(rest: _*)
+      q.processAllAvailable()
+      val got = spark.table("qgate_out").collect().map(_.getLong(0)).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("host budget accounting tracks per-host per-window fetch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
