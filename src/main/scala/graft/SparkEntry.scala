@@ -341,16 +341,19 @@ object SparkEntry {
         |    '@example.com or admin@host' || (doc_id % 7) ||
         |    '.org via 10.' || (doc_id % 256) || '.' || (doc_id % 100) ||
         |    '.7 bye' AS raw
-        |  FROM documents)
+        |  FROM documents),
+        |ne AS (
+        |  SELECT doc_id, raw, regexp_replace(raw,
+        |    '${TextQueries.EmailRe}', '<EMAIL>', 'g') AS no_email
+        |  FROM raw)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(raw, '${TextQueries.EmailRe}'))
         |    AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(raw, '${TextQueries.Ipv4Re}'))
+        |  CAST(len(regexp_extract_all(no_email, '${TextQueries.Ipv4Re}'))
         |    AS BIGINT) AS n_ips,
-        |  regexp_replace(regexp_replace(raw,
-        |    '${TextQueries.EmailRe}', '<EMAIL>', 'g'),
+        |  regexp_replace(no_email,
         |    '${TextQueries.Ipv4Re}', '<IP>', 'g') AS redacted
-        |FROM raw ORDER BY doc_id""".stripMargin,
+        |FROM ne ORDER BY doc_id""".stripMargin,
     // q30: DuckDB recomputes every Gopher repetition stat from scratch via
     // explode + re-group (the formulation the Spark kernel deliberately
     // avoids — which makes it a fully independent twin); tokenization is

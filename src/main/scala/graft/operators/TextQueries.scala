@@ -167,8 +167,12 @@ object TextQueries {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Email-then-IPv4 redaction (order pinned — both engines apply the
-    * same two global passes). Idempotent: the replacement tokens contain
-    * no PII shapes.
+    * same two global passes). Idempotent: '<' and '>' sit outside every
+    * character class, so a replacement token can neither extend nor seed
+    * a new match. Known scope edge (spec-pinned): a chained address like
+    * `a@b.co@c.io` redacts the leading address and leaves the bare
+    * `@c.io` remnant — no local part remains, so later passes leave it
+    * untouched too.
     */
   def scrubbed(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
@@ -179,10 +183,16 @@ object TextQueries {
     * so the query deterministically INJECTS per-doc PII first (both
     * engines compute the identical raw string from doc_id arithmetic) and
     * the operator under test — count + global redaction — then does real
-    * work on every row. Map-only: two codegen'd regex passes per row,
-    * zero shuffle before the presentation sort; at 100 TB this runs at
-    * scan speed, which is why redaction is a projection and not a join
-    * against a PII table.
+    * work on every row. Map-only: four codegen'd regex scans per row (two
+    * counts + two replaces), zero shuffle before the presentation sort;
+    * at 100 TB this runs at scan speed, which is why redaction is a
+    * projection and not a join against a PII table.
+    *
+    * Counts equal redactions PERFORMED: emails are counted on the raw
+    * text (the email pass runs first), IPs on the email-scrubbed
+    * intermediate — an IPv4 shape consumed by an email match (e.g. the
+    * local part `1.2.3.4@x.com`) is redacted once as an email and
+    * counted as neither an extra IP nor a lost one.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -193,10 +203,11 @@ object TextQueries {
           (col("doc_id") % 7).cast("string"),
           lit(".org via 10."), (col("doc_id") % 256).cast("string"),
           lit("."), (col("doc_id") % 100).cast("string"), lit(".7 bye")))
+      .withColumn("no_email", regexp_replace(col("raw"), EmailRe, "<EMAIL>"))
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
-        scrubbed(col("raw")).as("redacted"))
+        regexp_count(col("no_email"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(col("no_email"), Ipv4Re, "<IP>").as("redacted"))
       .orderBy("doc_id")
 
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over

@@ -238,11 +238,16 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       "a@b.co x 1.2.3.4 end", // minimal email + ip
       "user.name+tag%x@my-host.org and 999.999.999.999", // regex doesn't range-check
       "not-an-ip 1.2.3 nor 1234.5.6.7 nor email@nodot", // near-misses stay
-      "two a@b.io b@c.io ips 10.0.0.1 10.0.0.2")
+      "two a@b.io b@c.io ips 10.0.0.1 10.0.0.2",
+      "a@b.co@c.io chained", // adjacency edge: bare @domain remnant stays
+      "ip-as-local-part 1.2.3.4@x.com here") // email pass consumes the ip
+    // counts exactly as q54 computes them: emails on the raw text, ips on
+    // the email-scrubbed intermediate (counts == redactions performed)
+    val noEmail = regexp_replace(col("t"), TextQueries.EmailRe, "<EMAIL>")
     val rows = texts.toDF("t")
       .select(col("t"), TextQueries.scrubbed(col("t")).as("r"),
         regexp_count(col("t"), lit(TextQueries.EmailRe)).cast("int").as("ne"),
-        regexp_count(col("t"), lit(TextQueries.Ipv4Re)).cast("int").as("ni"),
+        regexp_count(noEmail, lit(TextQueries.Ipv4Re)).cast("int").as("ni"),
         TextQueries.scrubbed(TextQueries.scrubbed(col("t"))).as("rr"))
       .collect()
     val byText = rows.map(r => r.getString(0) ->
@@ -253,6 +258,14 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byText(texts(2)) == ((texts(2), 0, 0, texts(2))))
     assert(byText(texts(3)) == (("two <EMAIL> <EMAIL> ips <IP> <IP>", 2, 2,
       "two <EMAIL> <EMAIL> ips <IP> <IP>")))
+    // chained address: leading email redacted, bare @domain remnant has
+    // no local part so later passes cannot match it either
+    assert(byText(texts(4)) == (("<EMAIL>@c.io chained", 1, 0,
+      "<EMAIL>@c.io chained")))
+    // IPv4 shape inside an email local part: one email redaction, zero
+    // ip count (counted on the intermediate, where it is already gone)
+    assert(byText(texts(5)) == (("ip-as-local-part <EMAIL> here", 1, 0,
+      "ip-as-local-part <EMAIL> here")))
     rows.foreach(r => assert(r.getString(1) == r.getString(4), "not idempotent"))
     // the q54 query over the fixture: every doc gets exactly the injected
     // 2 emails + 1 ip (the fixture texts carry none of their own)
