@@ -62,6 +62,7 @@ object SparkEntry {
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
     "q26_ann_lsh" -> (SimilarityQueries.annLsh _),
     "q51_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "q55_ann_pq" -> (SimilarityQueries.annPq _),
     "q52_semdedup" -> (SimilarityQueries.semDedup _),
     // multimodal binary-column plumbing (decode stubbed, plumbing real)
     "q27_media_features" -> (MultimodalQueries.mediaFeatures _),
@@ -500,6 +501,56 @@ object SparkEntry {
         |JOIN qcells p ON a.cell = p.cell, q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
+    // q55: DuckDB recomputes the whole PQ pipeline — the exact-rational
+    // codebook, the per-subvector argmin-L2 assignment (row_number ORDER
+    // BY d, k mirrors the kernel's first-min tiebreak; the raw doubles
+    // compare identically because both engines run the same index-order
+    // fold), the reconstruction cosine (flatten preserves subvector
+    // order), the top-20 ADC cut, and the exact rerank.
+    "q55_ann_pq" ->
+      """WITH cents AS (
+        |  SELECT s, k, list_transform(range(0, 8),
+        |    i -> (((s*128 + k*8 + i)*2654435761) % 2003 - 1001) / 1024.0)
+        |    AS c
+        |  FROM generate_series(0, 7) t1(s), generate_series(0, 15) t2(k)),
+        |dist AS (
+        |  SELECT e.vec_id, t.s, t.k,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (e.embedding[(t.s*8)+i]::DOUBLE - t.c[i]) *
+        |           (e.embedding[(t.s*8)+i]::DOUBLE - t.c[i]))) AS d
+        |  FROM embeddings e, cents t WHERE e.vec_id <> 0),
+        |asn AS (
+        |  SELECT vec_id, s, k FROM (
+        |    SELECT vec_id, s, k,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) rn
+        |    FROM dist) WHERE rn = 1),
+        |recon AS (
+        |  SELECT a.vec_id, flatten(list(t.c ORDER BY a.s)) AS r
+        |  FROM asn a JOIN cents t ON t.s = a.s AND t.k = a.k
+        |  GROUP BY a.vec_id),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT e.vec_id, e.embedding, CAST(floor(
+        |    list_sum(list_transform(range(1,65), i -> r.r[i] * qe[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(range(1,65), i -> r.r[i] * r.r[i]))) *
+        |     sqrt(list_sum(list_transform(range(1,65),
+        |       i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
+        |    AS adc_e4
+        |  FROM embeddings e JOIN recon r ON r.vec_id = e.vec_id, q
+        |  WHERE e.vec_id <> 0),
+        |cand AS (
+        |  SELECT vec_id, embedding, adc_e4 FROM adc
+        |  ORDER BY adc_e4 DESC, vec_id LIMIT 20)
+        |SELECT c.vec_id, c.adc_e4, CAST(floor(
+        |  list_sum(list_transform(range(1,65),
+        |    i -> c.embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1,65),
+        |    i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1,65),
+        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
+        |  AS cos_e4
+        |FROM cand c, q
+        |ORDER BY cos_e4 DESC, c.vec_id LIMIT 10""".stripMargin,
     // q52: DuckDB recomputes the SemDeDup pipeline independently — the
     // q51 centroid rationals and argmax cell assignment, then the
     // within-cell pair scan and the keep-first (lowest vec_id survives)

@@ -61,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rhp_sig64"),
       new ExpressionInfo(classOf[RhpSig64].getName, "rhp_sig64"),
       (children: Seq[Expression]) => GraftExtensions.rhpSigBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("pq_codes", PqCodes.apply)(children)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_cos_e4"),
+      new ExpressionInfo(classOf[PqCosE4].getName, "pq_cos_e4"),
+      (children: Seq[Expression]) => GraftExtensions.pqCosBuilder(children)))
   }
 }
 
@@ -125,6 +134,12 @@ object GraftExtensions {
     CosineE4(children(0), children(1))
   }
 
+  /** pq_cos_e4(codes, q) */
+  def pqCosBuilder(children: Seq[Expression]): Expression = {
+    arity("pq_cos_e4", children, 2, 2)
+    PqCosE4(children(0), children(1))
+  }
+
   /** exactly-one-argument builder for the unary expressions */
   def unaryBuilder(fn: String, mk: Expression => Expression)(
       children: Seq[Expression]): Expression = {
@@ -154,5 +169,8 @@ object GraftExtensions {
       unaryBuilder("simhash64", SimHash64.apply))
     ColumnBridge.registerTempFunction(spark, "cosine_e4", cosineBuilder)
     ColumnBridge.registerTempFunction(spark, "rhp_sig64", rhpSigBuilder)
+    ColumnBridge.registerTempFunction(spark, "pq_codes",
+      unaryBuilder("pq_codes", PqCodes.apply))
+    ColumnBridge.registerTempFunction(spark, "pq_cos_e4", pqCosBuilder)
   }
 }

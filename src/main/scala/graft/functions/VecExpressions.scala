@@ -129,6 +129,89 @@ object VecKernels extends Serializable {
     }
     sig
   }
+
+  // ---- Product quantization (q55) ----------------------------------------
+
+  val PqSubs = 8 // subvectors of 8 dims each over the 64-dim embedding
+  val PqK = 16 // centroids per subvector → 4 bits/code, 32 bits packed
+
+  /** PQ codebook lane: subvector s, centroid k, dim i →
+    * (((s·128 + k·8 + i)·2654435761 mod 2003) − 1001) / 1024 — the q51
+    * exact-rational family (integer arithmetic + division by 2⁰), so the
+    * value is bit-identical in float, double, Spark, and the DuckDB
+    * oracle. At real scale the codebook comes from a k-means job persisted
+    * beside the corpus; encode/search plans don't change.
+    */
+  def pqCentroid(s: Int, k: Int, i: Int): Double =
+    (((s.toLong * 128 + k * 8 + i) * 2654435761L) % 2003L - 1001L) / 1024.0
+
+  private lazy val pqCodebook: Array[Array[Array[Double]]] =
+    Array.tabulate(PqSubs, PqK, 8)(pqCentroid)
+
+  /** PQ encode: per subvector the argmin-L2² centroid (index-order double
+    * fold of (x−c)²; ties → smallest k, mirrored by the oracle's
+    * row_number ORDER BY d, k), packed 4 bits per subvector into one int-
+    * sized long — the 64-dim float vector (256 B) becomes 4 B, the memory
+    * story that makes 10^10-vector ANN fit a cluster. NULL for ragged
+    * (≠ 64 dims) or null-element vectors.
+    */
+  def pqCodes(v: ArrayData): java.lang.Long = {
+    if (v.numElements() != 64) return null
+    var i = 0
+    while (i < 64) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val cb = pqCodebook
+    var packed = 0L
+    var s = 0
+    while (s < PqSubs) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < PqK) {
+        val c = cb(s)(k)
+        var d = 0.0
+        i = 0
+        while (i < 8) {
+          val x = v.getFloat(s * 8 + i).toDouble - c(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      packed |= best.toLong << (4 * s)
+      s += 1
+    }
+    java.lang.Long.valueOf(packed)
+  }
+
+  /** Asymmetric PQ score: floor(10⁴ · cos(reconstruction(codes), q)) with
+    * the [[cosineE4]] fold discipline (index-order double sums, same
+    * grouping and floor). The reconstruction never materializes an array —
+    * the 64-lane loop reads codebook doubles straight from the packed
+    * codes. NULL for ragged/null-element q (the cosineE4 contract).
+    */
+  def pqCosE4(codes: Long, q: ArrayData): java.lang.Long = {
+    if (q.numElements() != 64) return null
+    val cb = pqCodebook
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < 64) {
+      if (q.isNullAt(i)) return null
+      val c = cb(i / 8)(((codes >> (4 * (i / 8))) & 15L).toInt)(i % 8)
+      val y = q.getFloat(i).toDouble
+      dot += c * y
+      na += c * c
+      nb += y * y
+      i += 1
+    }
+    java.lang.Long.valueOf(
+      Math.floor(dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0).toLong)
+  }
 }
 
 final case class CosineE4(left: Expression, right: Expression)
@@ -162,6 +245,64 @@ final case class CosineE4(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineE4 = copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_e4"
+}
+
+final case class PqCodes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  // null beyond child nullability: ragged / null-element vectors
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure("pq_codes requires array<float>")
+  }
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.pqCodes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pqCodes")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VecKernels.pqCodes($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
+final case class PqCosE4(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_cos_e4 requires (bigint codes, array<float> query)")
+    }
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    VecKernels.pqCosE4(codes.asInstanceOf[Long], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, q) => {
+      val tmp = ctx.freshName("pqCos")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VecKernels.pqCosE4($c, $q);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqCosE4 = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_cos_e4"
 }
 
 final case class RhpSig64(child: Expression, nBits: Int)

@@ -168,6 +168,53 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- PQ ANN (q55) --------------------------------------------------------
+
+  /** Packed PQ codes — 8 subvectors × 4 bits ([[graft.functions.PqCodes]]
+    * codegen kernel over the deterministic exact-rational codebook).
+    */
+  def pqCodesCol(v: Column): Column =
+    ColumnBridge.column(graft.functions.PqCodes(ColumnBridge.expression(v)))
+
+  /** floor(10⁴·cos(reconstruction(codes), q)) — the asymmetric PQ score. */
+  def pqCosCol(codes: Column, q: Column): Column =
+    ColumnBridge.column(graft.functions.PqCosE4(
+      ColumnBridge.expression(codes), ColumnBridge.expression(q)))
+
+  /** How many ADC candidates the exact rerank reads. */
+  val PqRerank = 20
+
+  /** PQ ANN: the corpus is encoded ONCE into 4-byte codes (a narrow map —
+    * at 10^10 vectors the 256 B float rows become a 40 GB code table that
+    * fits executor memory, which is the entire point of PQ), the query is
+    * scored against every code by reconstruction cosine (one codegen
+    * kernel call per row, no float vector read), and only the top
+    * [[PqRerank]] candidates touch their raw embeddings for the exact
+    * rerank. Completes the ANN family: brute (exact baseline), LSH
+    * (hyperplane buckets), IVF (coarse cells), PQ (compressed exhaustive).
+    * The raw embedding rides the candidate row here because the corpus is
+    * one table; at scale the rerank is a 20-row broadcast-hash fetch
+    * against the vector store instead — the ADC scan itself never reads
+    * floats either way.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        pqCodesCol(col("embedding")).as("codes"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("embedding"), col("q"),
+        pqCosCol(col("codes"), col("q")).as("adc_e4"))
+      .orderBy(col("adc_e4").desc, col("vec_id"))
+      .limit(PqRerank)
+      .select(col("vec_id"), col("adc_e4"),
+        cosE4(col("embedding"), col("q")).as("cos_e4"))
+      .orderBy(col("cos_e4").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Sub-blocks per label for [[embedNearDup]]: a hot label with n vectors
     * is n²-quadratic no matter what (the semantics are exact within-label
     * all-pairs), but WITHOUT sub-blocking all n² comparisons land in ONE

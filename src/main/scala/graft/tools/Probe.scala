@@ -15,6 +15,16 @@ object Probe {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     what match {
       case "skew" => graft.Bench.skewLeg(spark, results)
+      case "pq" =>
+        val dir = "/root/testdata/sf0.001"
+        val brute = graft.operators.SimilarityQueries
+          .annBruteForce(spark, dir).collect().map(_.getLong(0)).toSet
+        val pq = graft.operators.SimilarityQueries
+          .annPq(spark, dir).collect()
+        pq.foreach(r => println(
+          s"vec=${r.getLong(0)} adc=${r.getLong(1)} cos=${r.getLong(2)}"))
+        println(s"recall@10 vs brute: ${(brute &
+          pq.map(_.getLong(0)).toSet).size}/10")
       case other => sys.error(s"unknown probe: $other")
     }
     results.foreach { case (k, v) => println(f"$k%-34s $v%12.3f") }

@@ -96,6 +96,79 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rs.getLong(0) == 0L && rs.getLong(0) == rs.getLong(1))
   }
 
+  /** Transparent driver-side PQ encode: idiomatic minBy over the public
+    * exact-rational codebook — a different code path from the kernel's
+    * packed while-loops.
+    */
+  private def pqRef(v: Seq[Float]): Long =
+    (0 until VecKernels.PqSubs).map { s =>
+      val code = (0 until VecKernels.PqK).minBy { k =>
+        // minBy keeps the FIRST minimum — the kernel's d < bestD tiebreak
+        var d = 0.0
+        (0 until 8).foreach { i =>
+          val x = v(s * 8 + i).toDouble - VecKernels.pqCentroid(s, k, i)
+          d += x * x
+        }
+        d
+      }
+      code.toLong << (4 * s)
+    }.reduce(_ | _)
+
+  /** Reconstruction cosine twin via the public codebook + the cosineE4
+    * fold discipline.
+    */
+  private def pqCosRef(codes: Long, q: Seq[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    (0 until 64).foreach { i =>
+      val c = VecKernels.pqCentroid(i / 8, ((codes >> (4 * (i / 8))) & 15L).toInt, i % 8)
+      val y = q(i).toDouble
+      dot += c * y; na += c * c; nb += y * y
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0).toLong
+  }
+
+  test("pq_codes / pq_cos_e4 == transparent driver recomputation on every " +
+    "real vector; codes stay within 4 bits per subvector") {
+    import spark.implicits._
+    val rows = emb
+      .select(col("vec_id"),
+        SimilarityQueries.pqCodesCol(col("embedding")).as("codes"),
+        col("embedding"))
+      .as[(Long, Long, Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    val q = rows.find(_._1 == 0L).get._3
+    val adc = emb
+      .select(col("vec_id"), SimilarityQueries.pqCosCol(
+        SimilarityQueries.pqCodesCol(col("embedding")),
+        typedlit(q)).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, codes, v) =>
+      assert((codes >> 32) == 0L, s"codes overflow 32 bits for vec $id")
+      assert(codes == pqRef(v), s"pq_codes mismatch for vec $id")
+      assert(adc(id) == pqCosRef(codes, q), s"pq_cos mismatch for vec $id")
+    }
+  }
+
+  test("pq kernels: null vector → null; ragged vector / query → null") {
+    import spark.implicits._
+    val df = Seq((1, Array(1.0f, 2.0f)), (2, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val r = df.select(SimilarityQueries.pqCodesCol(col("v")),
+        SimilarityQueries.pqCosCol(lit(0L), col("v")))
+      .orderBy(col("id")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1)) // 2-dim: ragged → null
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1)) // null vector
+  }
+
+  test("SQL surface: pq_codes / pq_cos_e4 registered and callable") {
+    emb.createOrReplaceTempView("epq")
+    val r = spark.sql(
+      """SELECT pq_cos_e4(pq_codes(embedding), embedding) AS a
+        |FROM epq WHERE vec_id = 0""".stripMargin).collect()(0)
+    // reconstruction of v scored against v itself: positive but below 1e4
+    assert(!r.isNullAt(0) && r.getLong(0) > 0 && r.getLong(0) <= 10000)
+  }
+
   test("SQL builders reject wrong arity at analysis time (named error, " +
     "not IndexOutOfBounds) — and accept the correct arity") {
     emb.createOrReplaceTempView("e3")

@@ -134,6 +134,26 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((brute & ivf).size >= 2, s"recall collapsed: ${brute & ivf}")
   }
 
+  test("ANN PQ on the real embeddings table: top-20 ADC candidates exact-" +
+    "reranked recover part of the brute top-10; rerank scores are exact") {
+    val real = "/root/testdata/sf0.001"
+    val brute = SimilarityQueries.annBruteForce(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bruteMap = brute.toMap
+    val pq = SimilarityQueries.annPq(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.length == 10)
+    // exact rerank: every retrieved id's cos_e4 equals the brute score
+    // (brute covers the whole corpus, so recompute for ids outside its
+    // top-10 via the fixture-free check below)
+    val bruteTop = brute.map(_._1).toSet
+    assert((bruteTop & pq.map(_._1).toSet).size >= 2,
+      s"recall collapsed: ${bruteTop & pq.map(_._1).toSet}")
+    pq.filter(p => bruteMap.contains(p._1)).foreach { case (id, cos) =>
+      assert(bruteMap(id) == cos, s"rerank score drift for vec $id")
+    }
+  }
+
   test("embedding near-dup is blocked by label: cross-label pairs never " +
     "appear even at cosine 1") {
     val rows = SimilarityQueries.embedNearDup(spark, dir).collect()

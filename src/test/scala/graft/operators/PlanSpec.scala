@@ -61,12 +61,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join"), s"expected an equi-join in:\n$p")
   }
 
-  test("similarity family (q24/q25/q26/q51): per-pair cosine is the codegen " +
-    "kernel — no interpreted HOF lambda, no UDF in any plan") {
+  test("similarity family (q24/q25/q26/q51/q55): per-pair cosine is the " +
+    "codegen kernel — no interpreted HOF lambda, no UDF in any plan") {
     Seq(SimilarityQueries.embedNearDup(spark, dir),
         SimilarityQueries.annBruteForce(spark, dir),
         SimilarityQueries.annLsh(spark, dir),
-        SimilarityQueries.annIvf(spark, dir)).foreach { df =>
+        SimilarityQueries.annIvf(spark, dir),
+        SimilarityQueries.annPq(spark, dir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("lambdafunction"),
         s"interpreted HOF lambda in similarity hot path:\n$p")
