@@ -85,7 +85,8 @@ object Bench {
     "q27_media_features" -> 3.0, "q28_api_lookup" -> 3.0,
     "q20_exact_dedup" -> 3.0, "q31_dup_span_coverage" -> 3.0,
     "q52_semdedup" -> 4.0, "q53_corpus_funnel" -> 3.0,
-    "q54_pii_scrub" -> 2.0, "q55_ann_pq" -> 2.0)
+    "q54_pii_scrub" -> 2.0, "q55_ann_pq" -> 2.0,
+    "q56_domain_mix" -> 2.0)
   // only the FIRST crawl-family query actually runs the memoized crawl —
   // a rerun of it would time a cache hit, so it alone is exempt. Its
   // siblings are plain re-runnable aggregations over the memoized

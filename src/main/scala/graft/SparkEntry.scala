@@ -57,6 +57,7 @@ object SparkEntry {
     "q31_dup_span_coverage" -> (DedupQueries.dupSpanCoverage _),
     "q53_corpus_funnel" -> (TextQueries.corpusFunnel _),
     "q54_pii_scrub" -> (TextQueries.piiScrub _),
+    "q56_domain_mix" -> (TextQueries.domainMix _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
@@ -551,6 +552,16 @@ object SparkEntry {
         |  AS cos_e4
         |FROM cand c, q
         |ORDER BY cos_e4 DESC, c.vec_id LIMIT 10""".stripMargin,
+    // q56: the deterministic sampler re-derived end-to-end — suffix-based
+    // target rates and the coprime-multiplier residue rule.
+    "q56_domain_mix" ->
+      """SELECT source, count(*) AS total,
+        |  CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000 <
+        |    1000 - CAST(regexp_extract(source, '\d+') AS BIGINT) * 45
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(max(1000 - CAST(regexp_extract(source, '\d+') AS BIGINT) * 45)
+        |    AS BIGINT) AS target_permille
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q52: DuckDB recomputes the SemDeDup pipeline independently — the
     // q51 centroid rationals and argmax cell assignment, then the
     // within-cell pair scan and the keep-first (lowest vec_id survives)

@@ -210,6 +210,30 @@ object TextQueries {
         regexp_replace(col("no_email"), Ipv4Re, "<IP>").as("redacted"))
       .orderBy("doc_id")
 
+  /** Domain mixing (q56) — the weighted source-sampling stage that turns a
+    * cleaned corpus into a training MIX (the Pile/Dolma "mixing weights"
+    * op): every document is kept iff a deterministic per-doc hash residue
+    * falls under its source's target rate, so the sample is exactly
+    * reproducible, needs no RNG state, and any worker can re-derive
+    * membership from the row alone — a map-only projection at 100 TB
+    * (re-shuffling the corpus to sample it would be the anti-pattern).
+    * Target rates derive from the source's numeric suffix (src0 → 1000‰
+    * full keep … src19 → 145‰); the residue multiplier is coprime to
+    * 1000, so residues equidistribute over doc_ids and realized rates
+    * track targets. Output: per-source total/kept/target audit rows.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("target_permille",
+        lit(1000L) - regexp_extract(col("source"), "\\d+", 0).cast("long") * 45)
+      .withColumn("kept",
+        (pmod(col("doc_id") * 2654435761L, lit(1000L)) <
+          col("target_permille")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("total"), sum(col("kept")).as("kept"),
+        first(col("target_permille")).as("target_permille"))
+      .orderBy("source")
+
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char
     * class histogram) for cheap near-dup pre-clustering at 100 TB scale.

@@ -299,6 +299,27 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("domain mix: kept counts equal the exact per-row residue rule; " +
+    "src0 (target 1000 permille) keeps everything") {
+    import spark.implicits._
+    val real = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$real/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val t = 1000L - src.drop(3).toLong * 45
+      src -> ((xs.length.toLong,
+        xs.count { case (id, _) =>
+          java.lang.Math.floorMod(id * 2654435761L, 1000L) < t }.toLong, t))
+    }
+    val got = TextQueries.domainMix(spark, real).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet && got.size == 20)
+    expected.foreach { case (src, e) => assert(got(src) == e, s"src=$src") }
+    assert(got("src0")._2 == got("src0")._1) // full-keep source
+    assert(got("src19")._2 < got("src19")._1) // heavily downsampled source
+  }
+
   test("corpus funnel: per-stage flags are each stage's own verdict and " +
     "final_keep is their conjunction") {
     val rows = TextQueries.corpusFunnel(spark, dir).collect()
