@@ -334,6 +334,81 @@ object SparkEntry {
     "q20_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc""".stripMargin,
+    // q19: the xxhash64 content hash has no DuckDB twin (kernel semantics
+    // are UDF-twin spec-pinned), so the hash column comes from the dumped
+    // Spark values; len / alpha_runs are recomputed from raw text.
+    "q19_fingerprint" ->
+      s"""SELECT d.doc_id, f.content_hash,
+        |  CAST(length(d.text) AS BIGINT) AS len,
+        |  CAST(len(regexp_extract_all(d.text, '[a-z]+')) AS BIGINT)
+        |    AS alpha_runs
+        |FROM documents d
+        |JOIN '${CrawlPipelines.OracleDumpDir}/fingerprints/*.parquet' f
+        |  ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q22: DuckDB recomputes everything downstream of the minhash kernel
+    // from the dumped (doc_id, band, band_hash) rows — the BucketCap
+    // (interpolated from the SAME Scala constant the query compiles, no
+    // drift), the banded self-join, pair dedup, and the exact-Jaccard
+    // verify over shingles DuckDB re-derives from raw documents.text.
+    "q22_minhash_lsh" ->
+      s"""WITH bands AS (
+        |  SELECT doc_id, band, band_hash
+        |  FROM '${CrawlPipelines.OracleDumpDir}/lsh_bands/*.parquet'),
+        |bsz AS (
+        |  SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT b.doc_id, b.band, b.band_hash FROM bands b
+        |  JOIN bsz s ON s.band = b.band AND s.band_hash = b.band_hash
+        |  WHERE s.n <= ${DedupQueries.BucketCap}),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM kept a JOIN kept b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash
+        |    AND a.doc_id < b.doc_id),
+        |w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |sdocs AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(ws)-1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |  ELSE []::VARCHAR[] END AS sh FROM w),
+        |jx AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS sa, len(b.sh) AS sb
+        |  FROM cand c JOIN sdocs a ON a.doc_id = c.doc_a
+        |  JOIN sdocs b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(inter*100.0/(sa+sb-inter)) AS BIGINT) AS jaccard_pct
+        |FROM jx
+        |WHERE CAST(floor(inter*100.0/(sa+sb-inter)) AS BIGINT) >= 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q23: DuckDB recomputes the chunk pigeonhole, BucketCap, pairing and
+    // hamming distance from the dumped (doc_id, simhash) values. The
+    // `& 65535` mask makes arithmetic-vs-logical shift semantics
+    // irrelevant on both engines.
+    "q23_simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, simhash
+        |  FROM '${CrawlPipelines.OracleDumpDir}/simhash/*.parquet'),
+        |ch AS (SELECT doc_id, simhash, t.c AS chunk_idx,
+        |    ((simhash >> (t.c*16)) & 65535) AS chunk
+        |  FROM sh, generate_series(0, 3) t(c)),
+        |csz AS (
+        |  SELECT chunk_idx, chunk, count(*) AS n FROM ch GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT c.doc_id, c.simhash, c.chunk_idx, c.chunk FROM ch c
+        |  JOIN csz s ON s.chunk_idx = c.chunk_idx AND s.chunk = c.chunk
+        |  WHERE s.n <= ${DedupQueries.BucketCap}),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS h
+        |  FROM kept a JOIN kept b
+        |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(h AS INT) AS hamming
+        |FROM pairs WHERE h <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // q54: the regex constants are interpolated from the SAME Scala vals
     // the Spark query compiles (no drift); DuckDB needs the explicit 'g'
     // flag where Spark's regexp_replace is global by default.

@@ -27,6 +27,7 @@ object Verify {
     try {
       graft.operators.CrawlPipelines.dumpForOracle(spark)
       graft.operators.CoreQueries.dumpApiTables(spark, sfDir)
+      graft.operators.DedupQueries.dumpForOracle(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] oracle dump failed: ${e.getMessage}")
     }

@@ -62,23 +62,44 @@ object DedupQueries {
   val DfCap = 64
 
   /** N-gram Jaccard near-dup pairs via a df-capped shingle inverted index:
-    * explode shingles → group by shingle into a sorted posting list
-    * (df-cap enforced AT the group — no separate df job) → in-group pair
-    * generation with higher-order functions (no self-join: one shuffle to
-    * group, one to count pairs) → Jaccard from per-doc KEPT-shingle
-    * counts. Jaccard is over the capped shingle universe (sizes count
-    * only surviving shingles) so the measure is self-consistent; the
-    * DuckDB oracle mirrors the cap. jaccard reported as integer percent
-    * for exact oracle compare.
+    * explode shingles → TWO-PHASE df cap (count df per shingle first, then
+    * anti-join the hot shingles away, then collect posting lists for
+    * survivors only) → in-group pair generation with codegen'd explodes
+    * (no self-join) → Jaccard from per-doc KEPT-shingle counts. Jaccard is
+    * over the capped shingle universe (sizes count only surviving
+    * shingles) so the measure is self-consistent; the DuckDB oracle
+    * mirrors the cap. jaccard reported as integer percent for exact
+    * oracle compare.
+    *
+    * Why two-phase: `collect_list` has no partial-aggregation escape — a
+    * single boilerplate shingle ("all rights reserved") with df≈10^8 at
+    * web scale would materialize its ENTIRE posting array inside one
+    * aggregation buffer in one task (~800 MB → executor OOM) before a
+    * post-hoc `size(ds) <= cap` filter could discard it. Phase 1 is a
+    * plain `count` — partial-aggregable, so the hot shingle costs one long
+    * per map partition, never a buffer. Phase 2's `collect_list` only ever
+    * sees shingles with df ≤ [[DfCap]], so every posting buffer is ≤ cap
+    * elements BY CONSTRUCTION and the Σ min(df,cap)²/2 pair bound is real.
+    * Both phases shuffle `inv` by shingle with identical partitioning, so
+    * the exchange is planned once and reused (PlanSpec pins the anti-join
+    * sitting below the collect_list aggregate; HotKeyDedupSpec pins the
+    * cap boundary semantics on planted hot-shingle corpora).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // posting list per shingle, capped: groups larger than DfCap vanish
-    val groups = inv.groupBy("shingle")
+    // phase 1: df per shingle — partial-aggregable count, no arrays.
+    // (WordShingles emits first-occurrence-distinct shingles per doc, so
+    // count(*) == count of distinct docs.)
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap)
+      .select("shingle")
+    // phase 2: posting lists for surviving shingles only — every
+    // collect_list buffer is ≤ DfCap elements by construction
+    val groups = inv.join(hot, Seq("shingle"), "left_anti")
+      .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= DfCap)
     // per-doc size over the KEPT universe
     val sizes = groups.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -180,11 +201,29 @@ object DedupQueries {
     ColumnBridge.column(graft.functions.MinhashBands(
       ColumnBridge.expression(sh), k, bands))
 
+  /** Bucket-size cap for the LSH band join and the SimHash chunk join —
+    * the [[DfCap]] discipline applied to candidate-generation buckets. A
+    * band/chunk bucket with more than `BucketCap` members is, on a real
+    * web corpus, a clump of byte-identical or boilerplate documents
+    * (identical docs share ALL band hashes), and joining it with itself
+    * yields p² candidate rows in ONE join bucket — the hot-key blowup
+    * that makes an uncapped LSH self-join unrunnable at 10^10 docs.
+    * Buckets over the cap are dropped BEFORE the self-join (two-phase:
+    * partial-aggregable count, then anti-join — no bucket array is ever
+    * materialized); exact duplicates that a hot bucket would have paired
+    * are the job of the q20 exact-dedup pre-stage, which is how the
+    * production pipeline orders these operators anyway (exact dedup →
+    * near-dup). The DuckDB oracles mirror the cap.
+    */
+  val BucketCap = 64
+
   /** MinHash+LSH near-dup candidates, verified: shingle → signature →
     * banded buckets (band hash of r consecutive signature slots) →
-    * same-bucket candidate pairs → exact Jaccard verification on the
-    * candidates only. This is THE near-dup scale path: cost is
-    * O(docs × bands) + O(candidate pairs), not O(docs²).
+    * same-bucket candidate pairs (buckets over [[BucketCap]] dropped
+    * two-phase, so no hot bucket ever self-joins) → exact Jaccard
+    * verification on the candidates only. This is THE near-dup scale
+    * path: cost is O(docs × bands) + O(Σ min(bucket, cap)² pairs), not
+    * O(docs²).
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -198,8 +237,18 @@ object DedupQueries {
     // moves only the candidates' shingles).
     val banded = docs.select(col("doc_id"),
       posexplode(minhashBandHashes(col("sh"))).as(Seq("band", "band_hash")))
-    val cands = banded.toDF("doc_a", "band", "band_hash")
-      .join(banded.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
+    // two-phase bucket cap: count (partial-aggregable) → anti-join; the
+    // same exchange the self-join needs, so the cap rides for free
+    val hotBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > BucketCap)
+      .select("band", "band_hash")
+    // explicit re-select: a using-columns join moves the keys to the
+    // front, which would silently mislabel the positional toDF renames
+    val kept = banded.join(hotBuckets, Seq("band", "band_hash"), "left_anti")
+      .select("doc_id", "band", "band_hash")
+    val cands = kept.toDF("doc_a", "band", "band_hash")
+      .join(kept.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
@@ -256,7 +305,14 @@ object DedupQueries {
   /** SimHash near-dup pairs with hamming distance ≤ 3, blocked by the
     * 4-chunk pigeonhole: two hashes within hamming 3 must agree on at
     * least one of four 16-bit chunks, so candidates come from equi-joins
-    * on chunks — never an all-pairs scan.
+    * on chunks — never an all-pairs scan. Chunk buckets over [[BucketCap]]
+    * are dropped two-phase before the self-join (identical docs share all
+    * four chunks → one uncapped bucket is p² pairs; exact dups belong to
+    * the q20 pre-stage). Scale note: 16-bit chunks give only 2^16 buckets
+    * per chunk index, so at 10^10 docs EVERY bucket is hot by chance
+    * alone — there you widen the pigeonhole (e.g. 6 chunks of 21 bits
+    * covers hamming ≤ 5 with 2^21 buckets, or chunk-pair keys at 2^32),
+    * which changes only the `chunks` arity here, not the plan shape.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -265,8 +321,14 @@ object DedupQueries {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.toDF("doc_a", "sim_a", "chunk_idx", "chunk")
-    val b = chunked.toDF("doc_b", "sim_b", "chunk_idx", "chunk")
+    val hotChunks = chunked.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > BucketCap)
+      .select("chunk_idx", "chunk")
+    val kept = chunked.join(hotChunks, Seq("chunk_idx", "chunk"), "left_anti")
+      .select("doc_id", "simhash", "chunk_idx", "chunk")
+    val a = kept.toDF("doc_a", "sim_a", "chunk_idx", "chunk")
+    val b = kept.toDF("doc_b", "sim_b", "chunk_idx", "chunk")
     val hamming = {
       val x = col("sim_a").bitwiseXOR(col("sim_b"))
       bit_count(x)
@@ -278,5 +340,31 @@ object DedupQueries {
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dump the Spark-computed hash-kernel outputs (minhash band hashes,
+    * simhashes, xxhash64 content hashes) as parquet so the q19/q22/q23
+    * DuckDB oracles can independently recompute everything DOWNSTREAM of
+    * the hash kernels — banding self-join with the [[BucketCap]], pair
+    * dedup, chunk pigeonhole, hamming distance, and the exact-Jaccard
+    * verify over shingles DuckDB re-derives from raw `documents.text`
+    * itself. The kernels' own per-value semantics are UDF-twin spec-pinned
+    * (TextExpressionsSpec); xxhash64/minhash have no DuckDB twin, which is
+    * why the dump boundary sits exactly at the hash values.
+    */
+  def dumpForOracle(s: SparkSession, dir: String): Unit = {
+    val out = CrawlPipelines.OracleDumpDir
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    docs.select(col("doc_id"),
+      posexplode(minhashBandHashes(col("sh"))).as(Seq("band", "band_hash")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/lsh_bands")
+    t(s, dir, "documents")
+      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/simhash")
+    t(s, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("content_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/fingerprints")
   }
 }

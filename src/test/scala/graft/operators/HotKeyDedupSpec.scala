@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** Planted hot-KEY corpora for the dedup family — the web-scale failure
+  * mode the two-phase caps exist for: one boilerplate shingle / one clump
+  * of byte-identical documents whose uncapped posting list or LSH bucket
+  * would be a single-task p² blowup (q21: a ~10^8-element collect_list
+  * buffer in one aggregation task; q22/q23: p² candidate rows out of one
+  * band/chunk bucket). At test scale the blowup can't literally OOM, so
+  * these specs pin the SEMANTICS of the caps at their exact boundaries
+  * (df = cap kept, df = cap+1 dropped) and prove the hot corpora run in
+  * bounded time with the output the capped algebra predicts; the plan
+  * STRUCTURE (count-aggregate + anti-join strictly before any buffer or
+  * self-join) is pinned by PlanSpec.
+  */
+class HotKeyDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("hotkey-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeDocs(texts: Seq[String]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("hotkey-fix").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q21 planted hot shingle: one shingle shared by 50k docs is df-" +
+    "capped away BEFORE any posting list exists — zero pairs, bounded run") {
+    // every doc: the hot 3-gram + a unique tail ⇒ the only shared shingle
+    // has df = 50 000 ≫ DfCap; the uncapped formulation would materialize
+    // a 50 000-element collect_list buffer in ONE task (at 10^8 docs, an
+    // ~800 MB buffer → executor OOM) before discarding it
+    val n = 50000
+    val dir = writeDocs((0 until n).map(i =>
+      s"hot shot gun uniq${i}a uniq${i}b uniq${i}c"))
+    val rows = DedupQueries.ngramJaccard(spark, dir).collect()
+    assert(rows.isEmpty,
+      s"hot-shingle-only corpus must yield no pairs, got ${rows.length}")
+  }
+
+  test("q21 df-cap boundary: a shingle in exactly DfCap docs is KEPT " +
+    "(full pair set), in DfCap+1 docs it is DROPPED (no pairs)") {
+    val cap = DedupQueries.DfCap
+    // 4-word docs ⇒ 2 shingles: the shared head (df = n) + a unique tail;
+    // kept ⇒ jaccard = 1/(2+2−1) = 33% ≥ 15 ⇒ all n(n−1)/2 pairs
+    def corpus(n: Int) =
+      writeDocs((0 until n).map(i => s"alpha beta gamma uniq$i"))
+    val kept = DedupQueries.ngramJaccard(spark, corpus(cap)).collect()
+    assert(kept.length == cap * (cap - 1) / 2,
+      s"df=cap must keep the shingle: ${kept.length} pairs")
+    assert(kept.forall(_.getLong(2) == 33L))
+    val dropped = DedupQueries.ngramJaccard(spark, corpus(cap + 1)).collect()
+    assert(dropped.isEmpty,
+      s"df=cap+1 must drop the shingle, got ${dropped.length} pairs")
+  }
+
+  test("q22 planted identical-doc clump: 10k byte-identical docs share " +
+    "ALL band buckets — the bucket cap drops them before the self-join " +
+    "(no p² candidates); a clump under the cap still pairs at jaccard 100") {
+    val clump = "the quick brown fox jumps over the lazy dog tonight"
+    // 10 000 identical docs: uncapped, EVERY band bucket yields
+    // 10k·(10k−1)/2 ≈ 5·10^7 candidate rows × 8 bands ≈ 4·10^8 join rows;
+    // capped, the whole clump vanishes (exact dups are q20's job)
+    val hotDir = writeDocs(Seq.fill(10000)(clump))
+    assert(DedupQueries.minhashLsh(spark, hotDir).count() == 0L)
+    // a 10-doc clump (≤ BucketCap) keeps its full pair set, verified exact
+    val okDir = writeDocs(Seq.fill(10)(clump) ++
+      Seq("completely different filler text body entirely unrelated words"))
+    val pairs = DedupQueries.minhashLsh(spark, okDir).collect()
+    assert(pairs.length == 10 * 9 / 2)
+    assert(pairs.forall(_.getLong(2) == 100L))
+  }
+
+  test("q23 planted identical-doc clump: 10k identical simhashes share " +
+    "all four chunks — capped away; a clump under the cap pairs at " +
+    "hamming 0") {
+    val clump = "pack my box with five dozen liquor jugs again and again"
+    val hotDir = writeDocs(Seq.fill(10000)(clump))
+    assert(DedupQueries.simhashPairs(spark, hotDir).count() == 0L)
+    val okDir = writeDocs(Seq.fill(8)(clump))
+    val pairs = DedupQueries.simhashPairs(spark, okDir).collect()
+    assert(pairs.length == 8 * 7 / 2)
+    assert(pairs.forall(_.getInt(2) == 0))
+  }
+}

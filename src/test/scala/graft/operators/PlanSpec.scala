@@ -3,6 +3,8 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
 
 /** Physical-plan audits: the queries must not merely be correct — the
   * plans must be the ones that survive a 100× scale-up. Each assertion
@@ -85,29 +87,69 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Batched: true"))
   }
 
+  /** The self-join whose BOTH sides are guarded by a df/bucket-cap
+    * left-anti join — the two-phase hot-key armor of q22/q23.
+    */
+  private def cappedSelfJoin(lp: LogicalPlan): Boolean =
+    lp.collect { case j: Join if j.joinType == Inner => j }.exists { j =>
+      def hasAnti(side: LogicalPlan) = side.collectFirst {
+        case x: Join if x.joinType == LeftAnti => x }.isDefined
+      hasAnti(j.left) && hasAnti(j.right)
+    }
+
   test("minhash LSH: no cartesian; the band bucket join is an equi-join; " +
-    "shingles/banding run inside codegen (no ScalaUDF, no HOF lambdas)") {
-    val p = plan(DedupQueries.minhashLsh(spark, dir))
+    "shingles/banding run inside codegen (no ScalaUDF, no HOF lambdas); " +
+    "BOTH sides of the band self-join sit behind the bucket-cap anti-join") {
+    val df = DedupQueries.minhashLsh(spark, dir)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"), s"UDF in the dedup hot path:\n$p")
     assert(!p.contains("lambdafunction"),
       s"interpreted HOF lambda in the dedup hot path:\n$p")
+    assert(cappedSelfJoin(df.queryExecution.optimizedPlan),
+      "band self-join not guarded by the BucketCap anti-join")
   }
 
   test("ngram jaccard: pair generation is explode-based — NO self-join of " +
-    "the inverted index, no cartesian, no UDF") {
-    val p = plan(DedupQueries.ngramJaccard(spark, dir))
+    "the inverted index, no cartesian, no UDF; the df cap is TWO-PHASE " +
+    "(count-aggregate + anti-join strictly below the collect_list)") {
+    val df = DedupQueries.ngramJaccard(spark, dir)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"))
     // the posting-list pair path: only the final size-lookup joins remain,
     // and they broadcast
     assert(p.contains("Generate explode"), s"no explode pair-gen in:\n$p")
     assert(!p.contains("ScalaUDF"), s"UDF in the dedup hot path:\n$p")
+    // hot-key armor: every collect_list aggregate must sit ABOVE a
+    // left-anti join whose right side is a plain count aggregate — i.e.
+    // the posting buffer can only ever see df-capped shingles, so no hot
+    // shingle materializes an unbounded aggregation buffer
+    val lp = df.queryExecution.optimizedPlan
+    val collectAggs = lp.collect {
+      case a: Aggregate if a.aggregateExpressions
+        .exists(_.toString.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty, s"no collect_list aggregate in:\n$lp")
+    collectAggs.foreach { a =>
+      val anti = a.collectFirst { case j: Join if j.joinType == LeftAnti => j }
+      assert(anti.isDefined,
+        s"collect_list not guarded by the df-cap anti-join:\n$lp")
+      val countBelow = anti.get.right.collectFirst {
+        case g: Aggregate if g.aggregateExpressions
+          .exists(_.toString.contains("count(1)")) => g }
+      assert(countBelow.isDefined,
+        s"df-cap anti-join right side is not a count aggregate:\n$lp")
+    }
   }
 
-  test("simhash pairs: the signature is a codegen expression, not a UDF") {
-    val p = plan(DedupQueries.simhashPairs(spark, dir))
+  test("simhash pairs: the signature is a codegen expression, not a UDF; " +
+    "BOTH sides of the chunk self-join sit behind the bucket-cap anti-join") {
+    val df = DedupQueries.simhashPairs(spark, dir)
+    val p = plan(df)
     assert(!p.contains("ScalaUDF"), s"UDF in simhash path:\n$p")
     assert(!p.contains("CartesianProduct"))
+    assert(cappedSelfJoin(df.queryExecution.optimizedPlan),
+      "chunk self-join not guarded by the BucketCap anti-join")
   }
 
   test("gopher quality (q30): map-only — ONE scan, no shuffle anywhere " +
