@@ -70,6 +70,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_cos_e4"),
       new ExpressionInfo(classOf[PqCosE4].getName, "pq_cos_e4"),
       (children: Seq[Expression]) => GraftExtensions.pqCosBuilder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("clean_title"),
+      new ExpressionInfo(classOf[CleanTitle].getName, "clean_title"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("clean_title", CleanTitle.apply)(children)))
+    ext.injectFunction((
+      FunctionIdentifier("search_variants"),
+      new ExpressionInfo(classOf[SearchVariants].getName, "search_variants"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("search_variants", SearchVariants.apply)(children)))
+    ext.injectFunction((
+      FunctionIdentifier("atom_first_id"),
+      new ExpressionInfo(classOf[AtomFirstId].getName, "atom_first_id"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.unaryBuilder("atom_first_id", AtomFirstId.apply)(children)))
   }
 }
 
@@ -172,5 +187,11 @@ object GraftExtensions {
     ColumnBridge.registerTempFunction(spark, "pq_codes",
       unaryBuilder("pq_codes", PqCodes.apply))
     ColumnBridge.registerTempFunction(spark, "pq_cos_e4", pqCosBuilder)
+    ColumnBridge.registerTempFunction(spark, "clean_title",
+      unaryBuilder("clean_title", CleanTitle.apply))
+    ColumnBridge.registerTempFunction(spark, "search_variants",
+      unaryBuilder("search_variants", SearchVariants.apply))
+    ColumnBridge.registerTempFunction(spark, "atom_first_id",
+      unaryBuilder("atom_first_id", AtomFirstId.apply))
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Relational operators from the reference, re-expressed Spark-first over
   * the driver testdata tables, each paired with a DuckDB oracle in
@@ -222,20 +223,34 @@ object CoreQueries {
     * inside the first `<entry>`, plus a decoy second entry — the parse
     * must pick entry[0] exactly as name2arxivid.py:165 does.
     */
+  /** E10/E11/S4 column twins — native codegen expressions calling the
+    * SAME row functions the extraction layer runs
+    * ([[graft.functions.ExtractExprOps]]); these replaced the last boxed
+    * ScalaUDFs on a driver-query per-doc path (PlanSpec pins q28 UDF-free,
+    * ExtractExpressionsSpec pins equality with the UDF formulation).
+    */
+  private def searchVariantsCol(t: Column): Column =
+    ColumnBridge.column(graft.functions.SearchVariants(
+      ColumnBridge.expression(t)))
+  private def cleanTitleCol(t: Column): Column =
+    ColumnBridge.column(graft.functions.CleanTitle(
+      ColumnBridge.expression(t)))
+  private def atomFirstIdCol(xml: Column): Column =
+    ColumnBridge.column(graft.functions.AtomFirstId(
+      ColumnBridge.expression(xml)))
+
   def apiRequests(s: SparkSession, dir: String): DataFrame = {
-    val variantsUdf = udf((t: String) =>
-      graft.extract.TitleClean.searchVariants(t))
     t(s, dir, "documents")
       .withColumn("title", substring(col("text"), 1, 64))
       .select(col("doc_id"),
-        posexplode(variantsUdf(col("title"))).as(Seq("variant_rank", "variant")))
+        posexplode(searchVariantsCol(col("title")))
+          .as(Seq("variant_rank", "variant")))
   }
 
   def apiIndex(s: SparkSession, dir: String): DataFrame = {
-    val cleanUdf = udf((t: String) => graft.extract.TitleClean.cleanTitle(t))
     t(s, dir, "documents")
       .withColumn("title", substring(col("text"), 1, 64))
-      .select(cleanUdf(col("title")).as("variant"),
+      .select(cleanTitleCol(col("title")).as("variant"),
         col("doc_id").as("resolved_id"))
       .groupBy("variant").agg(min("resolved_id").as("resolved_id"))
       .select(col("variant"),
@@ -269,13 +284,11 @@ object CoreQueries {
     * first matching variant wins (O5).
     */
   def apiLookup(s: SparkSession, dir: String): DataFrame = {
-    val atomIdUdf = udf((xml: String) => Option(xml)
-      .flatMap(graft.extract.ArxivExtract.parseAtomFirstId).orNull)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("variant_rank")
     apiRequests(s, dir)
       .join(broadcast(apiIndex(s, dir)), Seq("variant"), "left")
-      .withColumn("arxiv_id", atomIdUdf(col("atom_xml")))
+      .withColumn("arxiv_id", atomFirstIdCol(col("atom_xml")))
       .filter(col("arxiv_id").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // first matching variant wins (O5)

@@ -144,18 +144,25 @@ object DedupQueries {
     * occurs in ≥ 2 distinct documents. Per doc: covered position count
     * and integer coverage percent.
     *
-    * Scale shape: positional grams come from one codegen kernel +
-    * posexplode, generated and shuffled ONCE — the duplicated flag is
-    * `min(doc_id) ≠ max(doc_id)` over the gram window (exactly "≥ 2
-    * distinct docs", no collect, linear per group even on hot boilerplate
-    * grams), which avoids the agg-branch/join-branch twin that would run
-    * the gram map stage twice and sort it again inside a sort-merge join.
-    * No pair generation anywhere, unlike the q21 postings join, so no df
-    * cap is needed; coverage is explode + distinct + count. At 10^10 docs
-    * you'd key the shuffle on xxhash64(gram) instead of the gram text
-    * (fixed-width keys; collisions only ever ADD coverage at ~2⁻⁶⁴
-    * rates) — the string key here is what the DuckDB oracle can
-    * replicate exactly.
+    * Scale shape: the duplicated flag is `min(doc_id) ≠ max(doc_id)` per
+    * gram (exactly "≥ 2 distinct docs", no collect), computed as a
+    * TWO-PHASE aggregate + semi-join-back rather than a window: min/max
+    * partial-aggregate BEFORE the shuffle, so the hottest boilerplate
+    * gram moves one row per map partition into the agg — where the window
+    * formulation this replaced shuffled EVERY occurrence of the hot gram
+    * into one task and sorted it there (a 10^8-row single-task straggler
+    * at web scale, with no mitigation: AQE cannot split a window
+    * partition). The join-back is a semi-join the optimizer is free to
+    * broadcast (small dup set) or sort-merge — and a skewed hot-gram join
+    * partition IS splittable by AQE skew-join handling, unlike the
+    * window. The gram kernel feeds both sides as a pure narrow map; the
+    * full-volume gram shuffle happens once (the join left), the agg side
+    * shuffles only post-partial rows. No pair generation anywhere, unlike
+    * the q21 postings join, so no df cap is needed; coverage is explode +
+    * distinct + count. At 10^10 docs you'd key the shuffle on
+    * xxhash64(gram) instead of the gram text (fixed-width keys; collisions
+    * only ever ADD coverage at ~2⁻⁶⁴ rates) — the string key here is what
+    * the DuckDB oracle can replicate exactly.
     */
   def dupSpanCoverage(s: SparkSession, dir: String): DataFrame =
     spanCoverage(t(s, dir, "documents")).orderBy("doc_id")
@@ -167,11 +174,14 @@ object DedupQueries {
     val grams = docs
       .select(col("doc_id"), posexplode(wordGrams(col("text"), SpanN))
         .as(Seq("p", "g")))
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    // two-phase dup flag (see scaladoc): partial-aggregable min/max per
+    // gram, then a semi-join back — never a window over the gram key
+    val dupGrams = grams.groupBy("g")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("g")
     val covered = grams
-      .withColumn("dup",
-        min(col("doc_id")).over(byGram) =!= max(col("doc_id")).over(byGram))
-      .filter(col("dup"))
+      .join(dupGrams, Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (SpanN - 1))).as("q"))
       .distinct()

@@ -166,15 +166,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"extra shuffle in:\n$p")
   }
 
-  test("dup-span coverage (q31): the gram kernel runs ONCE (no twin " +
-    "agg/join branches recomputing the map stage), no cartesian, no UDF") {
-    val p = plan(DedupQueries.dupSpanCoverage(spark, dir))
+  test("dup-span coverage (q31): the dup-gram flag is a two-phase " +
+    "aggregate + semi-join — NO window over the gram key (the hot-gram " +
+    "single-task straggler AQE cannot split), min/max partial-aggregated " +
+    "BEFORE the shuffle, no cartesian, no UDF") {
+    val df = DedupQueries.dupSpanCoverage(spark, dir)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"), s"UDF in the span hot path:\n$p")
     assert(p.contains("Generate"), s"no generator pair-gen in:\n$p")
     val finalPlan = p.split("== Initial Plan ==").head
-    assert(finalPlan.split("word_grams").length - 1 == 1,
-      s"gram generation duplicated in:\n$p")
+    assert(!finalPlan.contains("Window"),
+      s"hot-gram window back in the span plan:\n$p")
+    assert(finalPlan.contains("partial_min"),
+      s"dup-gram min/max not partial-aggregated pre-shuffle:\n$p")
+    assert(finalPlan.contains("LeftSemi"),
+      s"dup-gram join-back is not a semi-join:\n$p")
+    // the gram kernel is a pure narrow map feeding the join side and the
+    // (partial-agg-reduced) flag side — never more than those two
+    assert(finalPlan.split("word_grams").length - 1 <= 2,
+      s"gram generation duplicated beyond the two designed sides:\n$p")
   }
 
   test("semantic dedup (q52): cell-blocked equi-join — no cartesian, no " +
@@ -187,14 +198,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("corpus funnel (q53): three independent stage flags joined on " +
-    "doc_id — no cartesian, no UDF, and exactly the two designed windows " +
-    "(exact-dedup min-per-text + the span dup-gram flag)") {
+    "doc_id — no cartesian, no UDF, and only the one designed window " +
+    "(exact-dedup min-per-text; the span dup-gram flag is the q31 " +
+    "two-phase aggregate, not a window)") {
     val p = plan(graft.operators.TextQueries.corpusFunnel(spark, dir))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"), s"UDF in the funnel:\n$p")
     val finalPlan = p.split("== Initial Plan ==").head
-    assert(finalPlan.split("Window \\[").length - 1 <= 2,
+    assert(finalPlan.split("Window \\[").length - 1 <= 1,
       s"unexpected extra window in:\n$p")
+  }
+
+  test("api lookup (q28): the variant/clean/atom-parse path is native " +
+    "codegen expressions — no ScalaUDF anywhere; the index side is " +
+    "broadcast") {
+    val p = plan(CoreQueries.apiLookup(spark, dir))
+    assert(!p.contains("ScalaUDF"), s"UDF in the q28 per-doc path:\n$p")
+    assert(p.contains("Broadcast"), s"api index not broadcast in:\n$p")
   }
 
   test("zotero priority dedup: aggregation-based sectioning — no window " +
