@@ -87,22 +87,18 @@ object Bench {
     "q52_semdedup" -> 4.0, "q53_corpus_funnel" -> 3.0,
     "q54_pii_scrub" -> 2.0, "q55_ann_pq" -> 2.0,
     "q56_domain_mix" -> 2.0)
-  // only the FIRST crawl-family query actually runs the memoized crawl —
-  // a rerun of it would time a cache hit, so it alone is exempt. Its
-  // siblings are plain re-runnable aggregations over the memoized
-  // result and stay armored, as do q47/q49 (ordinary sfDir queries that
-  // merely share the q4 number prefix). The payer is computed from the
-  // SELECTED set: under SPARK_GRAFT_BENCH_QUERIES=q41 it is q41 that
-  // pays the crawl, and exempting only the q40 literal would min() the
-  // crawl cost against a cache hit.
+  // the memoized crawl is timed EXPLICITLY as crawl_memoized_sec before
+  // any crawl-family query runs, so every q4x query times only its own
+  // aggregation over the memoized result (round-3's ListMap reorder had
+  // made whichever crawl query ran first silently pay the ~20 s crawl,
+  // breaking cross-round comparability of the phase-1 table) — and with
+  // no hidden payer, ALL phase-1 queries are re-runnable and armored.
   private val crawlFamily = Set("q40_crawl_flagship", "q41_crawl_digest",
     "q42_crawl_label_counts", "q43_crawl_host_metrics",
     "q44_crawl_citations", "q45_listing_digest", "q46_conference_records",
     "q48_repo_search")
-  private def rerunBound(name: String,
-      crawlPayer: Option[String]): Option[Double] =
-    if (crawlPayer.contains(name)) None
-    else Some(3.0 * expectedSec.getOrElse(name, 2.0))
+  private def rerunBound(name: String): Double =
+    3.0 * expectedSec.getOrElse(name, 2.0)
 
   /** Shuffle-free parse/extract throughput: pages → entry derivation →
     * parse → count agg, a map-only job. This is the CPU-scaling probe:
@@ -285,7 +281,13 @@ object Bench {
        else SparkEntry.queries)
         .filter { case (name, _) =>
           onlyQueries.forall(f => f.exists(name.startsWith)) }
-    val crawlPayer = phase1.keys.find(crawlFamily)
+    // pay the memoized crawl up front under its own key, so the q4x
+    // queries time pure aggregation (comparable across rounds) and stay
+    // re-runnable for the noise armor
+    if (phase1.keys.exists(crawlFamily)) {
+      results("crawl_memoized_sec") =
+        time { graft.operators.CrawlPipelines.result(spark); () }._2
+    }
     phase1.foreach { case (name, fn) =>
       {
         // a failed query reports -1, NOT its (short) elapsed time — a
@@ -297,14 +299,14 @@ object Bench {
             -1.0
           }
         val first = once()
-        results(name) = rerunBound(name, crawlPayer) match {
-          case Some(bound) if first > bound =>
+        val bound = rerunBound(name)
+        results(name) =
+          if (first > bound) {
             val second = once() // outlier — noise armor, report the min
             System.err.println(
               f"[bench] $name outlier $first%.1fs > $bound%.1fs; rerun $second%.1fs")
             if (second < 0) first else math.min(first, second)
-          case _ => first
-        }
+          } else first
       }
     }
     if (onlyQueries.isDefined) {
@@ -370,6 +372,13 @@ object Bench {
       }
       results("crawl_end_to_end_4x_sec") = crawlSec4x
       results("crawl_end_to_end_4x_urls_per_sec") = crawlUrls4x / crawlSec4x
+      // the every-run-stable crawl signal (the absolute 1× leg breathes
+      // ±30% with co-tenant noise): throughput gain from 4× the wave size
+      // at the SAME wave count — direct evidence the fixed 4-jobs/wave
+      // cost amortizes into the data plane (≥ 2.3 across all recorded
+      // runs; 4.0 would be perfect amortization with zero marginal cost)
+      results("crawl_amortization_ratio") =
+        (crawlUrls4x / crawlSec4x) / (crawlUrls / crawlSec)
 
       // ---- phase 2b: hot-host skew evidence (see skewLeg scaladoc) ------
       skewLeg(spark, results)
@@ -455,7 +464,9 @@ object Bench {
     // headline value + efficiency come from the SAME wave job: value is
     // the 4N (=4-core) leg of the headline 1→4 pair; the 4→32 pair and
     // the 32-core throughput are in `queries` (whole-box ceiling)
-    println(s"""{"metric":"urls_fetched_parsed_per_sec","value":${f"${waveTput(4)}%.1f"},"unit":"urls/sec","total_sec":${f"$total%.1f"},"queries":$qs,"sf":"$sfDir","pages":$nPages,"scaling_efficiency":${f"$waveEff14%.3f"},"scaling_efficiency_1_to_4":${f"$waveEff14%.3f"},"scaling_efficiency_4_to_32":${f"$waveEff432%.3f"}}""")
+    val amort = results.get("crawl_amortization_ratio")
+      .map(v => s""","crawl_amortization_ratio":${f"$v%.2f"}""").getOrElse("")
+    println(s"""{"metric":"urls_fetched_parsed_per_sec","value":${f"${waveTput(4)}%.1f"},"unit":"urls/sec","total_sec":${f"$total%.1f"},"queries":$qs,"sf":"$sfDir","pages":$nPages,"scaling_efficiency":${f"$waveEff14%.3f"},"scaling_efficiency_1_to_4":${f"$waveEff14%.3f"},"scaling_efficiency_4_to_32":${f"$waveEff432%.3f"}$amort}""")
     spark.stop()
   }
 }
