@@ -103,6 +103,134 @@ object SparkEntry {
     s"($j, $signs)"
   }.mkString(", ")
 
+  /** floor(10⁴·cosine) of 64-lane list exprs `e`, `c` — the index-order
+    * list fold every cosine oracle uses. Both sides are lane-cast to
+    * DOUBLE (a no-op for DOUBLE lists, and it keeps REAL-typed parquet
+    * lanes from folding in float precision).
+    */
+  private def ce4Sql(e: String, c: String): String =
+    s"""CAST(floor(list_sum(list_transform(range(1,65),
+       |      i -> $e[i]::DOUBLE * $c[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(range(1,65),
+       |      i -> $e[i]::DOUBLE * $e[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1,65),
+       |      i -> $c[i]::DOUBLE * $c[i]::DOUBLE)))) * 10000) AS BIGINT)"""
+      .stripMargin
+
+  /** DuckDB re-derivation of the [[graft.operators.Codebooks]] IVF
+    * training — the oracle trusts NOTHING from the Spark side: it runs
+    * the same fixed-iteration Lloyd from the same exact-rational init
+    * over the same raw table. Bit-identical by construction: assignment
+    * is the discretized-cosine argmax (row_number mirrors the
+    * smallest-j tiebreak), the update sums floor(lane·2²⁰) BIGINTs
+    * (exact, order-independent) and rounds the mean through REAL, and
+    * empty cells keep their previous centroid (the coalesce). Emits
+    * cents0..cents{iters} plus the FINAL assignment `asnF` (all
+    * vec_ids, trained centroids) and its score table `cosF`.
+    */
+  private def ivfLloydCtes: String = {
+    val k = graft.operators.Codebooks.IvfCells
+    val iters = graft.operators.Codebooks.IvfIters
+    val init =
+      s"""cents0 AS (
+         |  SELECT j, list_transform(range(0, 64),
+         |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
+         |  FROM generate_series(0, ${k - 1}) t(j))""".stripMargin
+    val steps = (0 until iters).map { n =>
+      s"""cos$n AS (
+         |  SELECT e.vec_id, t.j, ${ce4Sql("e.embedding", "t.c")} AS ce4
+         |  FROM embeddings e, cents$n t),
+         |asn$n AS (
+         |  SELECT vec_id, j AS cell FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
+         |    FROM cos$n) WHERE rn = 1),
+         |sums$n AS (
+         |  SELECT a.cell AS j, li.i,
+         |    SUM(CAST(floor(e.embedding[li.i+1]::DOUBLE * 1048576.0)
+         |      AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM embeddings e JOIN asn$n a USING (vec_id),
+         |    generate_series(0, 63) li(i)
+         |  GROUP BY 1, 2),
+         |cents${n + 1} AS (
+         |  SELECT g.j, list(coalesce(
+         |      CAST(CAST(s.s / (s.n * 1048576.0) AS REAL) AS DOUBLE),
+         |      p.c[g.i+1]) ORDER BY g.i) AS c
+         |  FROM (SELECT j, i FROM generate_series(0, ${k - 1}) a(j),
+         |        generate_series(0, 63) b(i)) g
+         |  JOIN cents$n p ON p.j = g.j
+         |  LEFT JOIN sums$n s ON s.j = g.j AND s.i = g.i
+         |  GROUP BY g.j)""".stripMargin
+    }
+    val fin =
+      s"""cosF AS (
+         |  SELECT e.vec_id, t.j, ${ce4Sql("e.embedding", "t.c")} AS ce4
+         |  FROM embeddings e, cents$iters t),
+         |asnF AS (
+         |  SELECT vec_id, j AS cell FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
+         |    FROM cosF) WHERE rn = 1)""".stripMargin
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
+  /** DuckDB re-derivation of the PQ codebook training (see
+    * [[ivfLloydCtes]] — same determinism argument, argmin-L2² assignment
+    * per 4-dim subvector with the smallest-k tiebreak). Emits
+    * pcents0..pcents{iters} plus the FINAL corpus encode `pasnF`.
+    */
+  private def pqLloydCtes: String = {
+    val iters = graft.operators.Codebooks.PqIters
+    val init =
+      """pcents0 AS (
+        |  SELECT s, k, list_transform(range(0, 4),
+        |    i -> (((s*128 + k*8 + i)*2654435761) % 2003 - 1001) / 1024.0)
+        |    AS c
+        |  FROM generate_series(0, 15) t1(s), generate_series(0, 15) t2(k))"""
+        .stripMargin
+    def dist(src: String, name: String, corpusOnly: Boolean) =
+      s"""$name AS (
+         |  SELECT e.vec_id, t.s, t.k,
+         |    list_sum(list_transform(range(1, 5),
+         |      i -> (e.embedding[(t.s*4)+i]::DOUBLE - t.c[i]) *
+         |           (e.embedding[(t.s*4)+i]::DOUBLE - t.c[i]))) AS d
+         |  FROM embeddings e, $src t${if (corpusOnly) " WHERE e.vec_id <> 0"
+      else ""})""".stripMargin
+    def asn(src: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, s, k FROM (
+         |    SELECT vec_id, s, k,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) rn
+         |    FROM $src) WHERE rn = 1)""".stripMargin
+    val steps = (0 until iters).map { n =>
+      Seq(dist(s"pcents$n", s"pdist$n", corpusOnly = false),
+        asn(s"pdist$n", s"pasn$n"),
+        s"""psums$n AS (
+           |  SELECT a.s, a.k, li.i,
+           |    SUM(CAST(floor(e.embedding[a.s*4+li.i+1]::DOUBLE * 1048576.0)
+           |      AS BIGINT)) AS sm,
+           |    COUNT(*) AS n
+           |  FROM embeddings e JOIN pasn$n a USING (vec_id),
+           |    generate_series(0, 3) li(i)
+           |  GROUP BY 1, 2, 3),
+           |pcents${n + 1} AS (
+           |  SELECT g.s, g.k, list(coalesce(
+           |      CAST(CAST(ps.sm / (ps.n * 1048576.0) AS REAL) AS DOUBLE),
+           |      p.c[g.i+1]) ORDER BY g.i) AS c
+           |  FROM (SELECT a.s, b.k, cc.i FROM generate_series(0, 15) a(s),
+           |        generate_series(0, 15) b(k),
+           |        generate_series(0, 3) cc(i)) g
+           |  JOIN pcents$n p ON p.s = g.s AND p.k = g.k
+           |  LEFT JOIN psums$n ps ON ps.s = g.s AND ps.k = g.k
+           |    AND ps.i = g.i
+           |  GROUP BY g.s, g.k)""".stripMargin).mkString(",\n")
+    }
+    val fin = Seq(dist(s"pcents$iters", "pdistF", corpusOnly = true),
+      asn("pdistF", "pasnF")).mkString(",\n")
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
   /** Shared DuckDB CTE blocks: the Gopher-stat recompute (q30 + q53) and
     * the 8-token span-coverage recompute (q31 + q53) — ONE definition
     * each, so the funnel oracle can never drift from the per-stage
@@ -536,95 +664,50 @@ object SparkEntry {
         |  AS cos_e4
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
-    // q51: the DuckDB side recomputes the IVF pipeline end-to-end — the
-    // deterministic centroids (exact rationals: k/1024), the argmax cell
-    // assignment with the same (cos DESC, j) tiebreak, the query's top-4
-    // probe cells, and the exact rerank — all independently of Spark.
+    // q51: the DuckDB side recomputes the IVF pipeline end-to-end and
+    // independently of Spark — it re-RUNS the deterministic Lloyd
+    // training ([[ivfLloydCtes]]: exact-rational init, discretized-cosine
+    // argmax assignment, quantized-BIGINT mean updates) from the raw
+    // table, then the query's top-IvfProbes probe cells and the exact
+    // rerank over the trained cells.
     "q51_ann_ivf" ->
-      """WITH cents AS (
-        |  SELECT j, list_transform(range(0, 64),
-        |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
-        |  FROM generate_series(0, 15) t(j)),
-        |cos AS (
-        |  SELECT e.vec_id, t.j, CAST(floor(
-        |    list_sum(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * t.c[i])) /
-        |    (sqrt(list_sum(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(range(1,65),
-        |      i -> t.c[i] * t.c[i])))) * 10000) AS BIGINT) AS ce4
-        |  FROM embeddings e, cents t),
-        |asn AS (
-        |  SELECT vec_id, j AS cell FROM (
-        |    SELECT vec_id, j,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
-        |    FROM cos) WHERE rn = 1),
+      s"""WITH $ivfLloydCtes,
         |qcells AS (
         |  SELECT j AS cell FROM (
         |    SELECT j, row_number() OVER (ORDER BY ce4 DESC, j) rn
-        |    FROM cos WHERE vec_id = 0) WHERE rn <= 4),
+        |    FROM cosF WHERE vec_id = 0)
+        |  WHERE rn <= ${SimilarityQueries.IvfProbes}),
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, CAST(floor(
-        |  list_sum(list_transform(range(1,65),
-        |    i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
-        |  (sqrt(list_sum(list_transform(range(1,65),
-        |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-        |   sqrt(list_sum(list_transform(range(1,65),
-        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
-        |  AS cos_e4
+        |SELECT e.vec_id, ${ce4Sql("e.embedding", "qe")} AS cos_e4
         |FROM embeddings e
-        |JOIN asn a ON a.vec_id = e.vec_id
+        |JOIN asnF a ON a.vec_id = e.vec_id
         |JOIN qcells p ON a.cell = p.cell, q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
-    // q55: DuckDB recomputes the whole PQ pipeline — the exact-rational
-    // codebook, the per-subvector argmin-L2 assignment (row_number ORDER
-    // BY d, k mirrors the kernel's first-min tiebreak; the raw doubles
-    // compare identically because both engines run the same index-order
-    // fold), the reconstruction cosine (flatten preserves subvector
-    // order), the top-20 ADC cut, and the exact rerank.
+    // q55: DuckDB recomputes the whole PQ pipeline — it re-RUNS the
+    // deterministic Lloyd codebook training ([[pqLloydCtes]]; row_number
+    // ORDER BY d, k mirrors the kernel's first-min tiebreak, and the raw
+    // L2² doubles compare identically because both engines run the same
+    // index-order fold), then the reconstruction cosine (flatten
+    // preserves subvector order), the top-PqRerank ADC cut, and the
+    // exact rerank.
     "q55_ann_pq" ->
-      """WITH cents AS (
-        |  SELECT s, k, list_transform(range(0, 8),
-        |    i -> (((s*128 + k*8 + i)*2654435761) % 2003 - 1001) / 1024.0)
-        |    AS c
-        |  FROM generate_series(0, 7) t1(s), generate_series(0, 15) t2(k)),
-        |dist AS (
-        |  SELECT e.vec_id, t.s, t.k,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (e.embedding[(t.s*8)+i]::DOUBLE - t.c[i]) *
-        |           (e.embedding[(t.s*8)+i]::DOUBLE - t.c[i]))) AS d
-        |  FROM embeddings e, cents t WHERE e.vec_id <> 0),
-        |asn AS (
-        |  SELECT vec_id, s, k FROM (
-        |    SELECT vec_id, s, k,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) rn
-        |    FROM dist) WHERE rn = 1),
+      s"""WITH $pqLloydCtes,
         |recon AS (
         |  SELECT a.vec_id, flatten(list(t.c ORDER BY a.s)) AS r
-        |  FROM asn a JOIN cents t ON t.s = a.s AND t.k = a.k
+        |  FROM pasnF a JOIN pcents${graft.operators.Codebooks.PqIters} t
+        |    ON t.s = a.s AND t.k = a.k
         |  GROUP BY a.vec_id),
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |adc AS (
-        |  SELECT e.vec_id, e.embedding, CAST(floor(
-        |    list_sum(list_transform(range(1,65), i -> r.r[i] * qe[i]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(range(1,65), i -> r.r[i] * r.r[i]))) *
-        |     sqrt(list_sum(list_transform(range(1,65),
-        |       i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
-        |    AS adc_e4
+        |  SELECT e.vec_id, e.embedding, ${ce4Sql("r.r", "qe")} AS adc_e4
         |  FROM embeddings e JOIN recon r ON r.vec_id = e.vec_id, q
         |  WHERE e.vec_id <> 0),
         |cand AS (
         |  SELECT vec_id, embedding, adc_e4 FROM adc
-        |  ORDER BY adc_e4 DESC, vec_id LIMIT 20)
-        |SELECT c.vec_id, c.adc_e4, CAST(floor(
-        |  list_sum(list_transform(range(1,65),
-        |    i -> c.embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
-        |  (sqrt(list_sum(list_transform(range(1,65),
-        |    i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
-        |   sqrt(list_sum(list_transform(range(1,65),
-        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
-        |  AS cos_e4
+        |  ORDER BY adc_e4 DESC, vec_id
+        |  LIMIT ${SimilarityQueries.PqRerank})
+        |SELECT c.vec_id, c.adc_e4, ${ce4Sql("c.embedding", "qe")} AS cos_e4
         |FROM cand c, q
         |ORDER BY cos_e4 DESC, c.vec_id LIMIT 10""".stripMargin,
     // q56: the deterministic sampler re-derived end-to-end — suffix-based
@@ -637,44 +720,22 @@ object SparkEntry {
         |  CAST(max(1000 - CAST(regexp_extract(source, '\d+') AS BIGINT) * 45)
         |    AS BIGINT) AS target_permille
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    // q52: DuckDB recomputes the SemDeDup pipeline independently — the
-    // q51 centroid rationals and argmax cell assignment, then the
-    // within-cell pair scan and the keep-first (lowest vec_id survives)
-    // drop rule.
+    // q52: DuckDB recomputes the SemDeDup pipeline independently — it
+    // re-RUNS the same deterministic Lloyd training as q51's oracle
+    // ([[ivfLloydCtes]]) for the cell assignment, then the within-cell
+    // pair scan and the keep-first (lowest vec_id survives) drop rule.
     "q52_semdedup" ->
-      """WITH cents AS (
-        |  SELECT j, list_transform(range(0, 64),
-        |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
-        |  FROM generate_series(0, 15) t(j)),
-        |cos AS (
-        |  SELECT e.vec_id, t.j, CAST(floor(
-        |    list_sum(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * t.c[i])) /
-        |    (sqrt(list_sum(list_transform(range(1,65),
-        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(range(1,65),
-        |      i -> t.c[i] * t.c[i])))) * 10000) AS BIGINT) AS ce4
-        |  FROM embeddings e, cents t),
-        |asn AS (
-        |  SELECT vec_id, CAST(j AS BIGINT) AS cell FROM (
-        |    SELECT vec_id, j,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
-        |    FROM cos) WHERE rn = 1),
+      s"""WITH $ivfLloydCtes,
         |emb2 AS (
-        |  SELECT e.vec_id, e.label, e.embedding, a.cell
-        |  FROM embeddings e JOIN asn a ON a.vec_id = e.vec_id),
+        |  SELECT e.vec_id, e.label, e.embedding, CAST(a.cell AS BIGINT)
+        |    AS cell
+        |  FROM embeddings e JOIN asnF a ON a.vec_id = e.vec_id),
         |dups AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM emb2 a JOIN emb2 b
         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE CAST(floor(
-        |    list_sum(list_transform(range(1,65),
-        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(range(1,65),
-        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(range(1,65),
-        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) *
-        |    10000) AS BIGINT) >= 3000)
+        |  WHERE ${ce4Sql("a.embedding", "b.embedding")} >=
+        |    ${SimilarityQueries.SemDedupTau})
         |SELECT e.vec_id, e.label, e.cell FROM emb2 e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
         |ORDER BY e.vec_id""".stripMargin,

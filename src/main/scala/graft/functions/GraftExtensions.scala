@@ -65,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_codes"),
       new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
       (children: Seq[Expression]) =>
-        GraftExtensions.unaryBuilder("pq_codes", PqCodes.apply)(children)))
+        GraftExtensions.unaryBuilder("pq_codes", e => PqCodes(e))(children)))
     ext.injectFunction((
       FunctionIdentifier("pq_cos_e4"),
       new ExpressionInfo(classOf[PqCosE4].getName, "pq_cos_e4"),
@@ -185,7 +185,7 @@ object GraftExtensions {
     ColumnBridge.registerTempFunction(spark, "cosine_e4", cosineBuilder)
     ColumnBridge.registerTempFunction(spark, "rhp_sig64", rhpSigBuilder)
     ColumnBridge.registerTempFunction(spark, "pq_codes",
-      unaryBuilder("pq_codes", PqCodes.apply))
+      unaryBuilder("pq_codes", e => PqCodes(e)))
     ColumnBridge.registerTempFunction(spark, "pq_cos_e4", pqCosBuilder)
     ColumnBridge.registerTempFunction(spark, "clean_title",
       unaryBuilder("clean_title", CleanTitle.apply))

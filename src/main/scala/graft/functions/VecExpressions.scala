@@ -132,37 +132,48 @@ object VecKernels extends Serializable {
 
   // ---- Product quantization (q55) ----------------------------------------
 
-  val PqSubs = 8 // subvectors of 8 dims each over the 64-dim embedding
-  val PqK = 16 // centroids per subvector → 4 bits/code, 32 bits packed
+  val PqSubs = 16 // subvectors of 4 dims each over the 64-dim embedding
+  val PqSubDim = 4 // dims per subvector
+  val PqK = 16 // centroids per subvector → 4 bits/code, 64 bits packed
 
-  /** PQ codebook lane: subvector s, centroid k, dim i →
+  /** PQ INIT codebook lane: subvector s, centroid k, dim i →
     * (((s·128 + k·8 + i)·2654435761 mod 2003) − 1001) / 1024 — the q51
-    * exact-rational family (integer arithmetic + division by 2⁰), so the
+    * exact-rational family (integer arithmetic + division by 2¹⁰), so the
     * value is bit-identical in float, double, Spark, and the DuckDB
-    * oracle. At real scale the codebook comes from a k-means job persisted
-    * beside the corpus; encode/search plans don't change.
+    * oracle. This is the deterministic Lloyd INIT (see
+    * [[graft.operators.Codebooks]]); queries encode with the trained
+    * codebook, which both engines re-derive from the same raw table.
     */
   def pqCentroid(s: Int, k: Int, i: Int): Double =
     (((s.toLong * 128 + k * 8 + i) * 2654435761L) % 2003L - 1001L) / 1024.0
 
-  private lazy val pqCodebook: Array[Array[Array[Double]]] =
-    Array.tabulate(PqSubs, PqK, 8)(pqCentroid)
-
-  /** PQ encode: per subvector the argmin-L2² centroid (index-order double
-    * fold of (x−c)²; ties → smallest k, mirrored by the oracle's
-    * row_number ORDER BY d, k), packed 4 bits per subvector into one int-
-    * sized long — the 64-dim float vector (256 B) becomes 4 B, the memory
-    * story that makes 10^10-vector ANN fit a cluster. NULL for ragged
-    * (≠ 64 dims) or null-element vectors.
+  /** Flattened init codebook, index (s·PqK + k)·PqSubDim + i — the layout
+    * every `cb` parameter below expects.
     */
-  def pqCodes(v: ArrayData): java.lang.Long = {
+  def pqInitCodebook: Array[Double] =
+    Array.tabulate(PqSubs * PqK * PqSubDim) { idx =>
+      val i = idx % PqSubDim
+      val k = idx / PqSubDim % PqK
+      val s = idx / (PqSubDim * PqK)
+      pqCentroid(s, k, i)
+    }
+
+  /** PQ encode against codebook `cb` (flattened [[pqInitCodebook]]
+    * layout): per subvector the argmin-L2² centroid (index-order double
+    * fold of (x−c)²; ties → smallest k, mirrored by the oracle's
+    * row_number ORDER BY d, k), packed 4 bits per subvector into one
+    * long — 16 subvectors × 4 bits fill all 64 bits, and the 64-dim float
+    * vector (256 B) becomes 8 B, the memory story that makes 10^10-vector
+    * ANN fit a cluster. NULL for ragged (≠ 64 dims) or null-element
+    * vectors.
+    */
+  def pqCodes(v: ArrayData, cb: Array[Double]): java.lang.Long = {
     if (v.numElements() != 64) return null
     var i = 0
     while (i < 64) {
       if (v.isNullAt(i)) return null
       i += 1
     }
-    val cb = pqCodebook
     var packed = 0L
     var s = 0
     while (s < PqSubs) {
@@ -170,11 +181,11 @@ object VecKernels extends Serializable {
       var bestD = Double.MaxValue
       var k = 0
       while (k < PqK) {
-        val c = cb(s)(k)
+        val base = (s * PqK + k) * PqSubDim
         var d = 0.0
         i = 0
-        while (i < 8) {
-          val x = v.getFloat(s * 8 + i).toDouble - c(i)
+        while (i < PqSubDim) {
+          val x = v.getFloat(s * PqSubDim + i).toDouble - cb(base + i)
           d += x * x
           i += 1
         }
@@ -187,22 +198,25 @@ object VecKernels extends Serializable {
     java.lang.Long.valueOf(packed)
   }
 
-  /** Asymmetric PQ score: floor(10⁴ · cos(reconstruction(codes), q)) with
-    * the [[cosineE4]] fold discipline (index-order double sums, same
-    * grouping and floor). The reconstruction never materializes an array —
-    * the 64-lane loop reads codebook doubles straight from the packed
-    * codes. NULL for ragged/null-element q (the cosineE4 contract).
+  /** Asymmetric PQ score against codebook `cb`: floor(10⁴ ·
+    * cos(reconstruction(codes), q)) with the [[cosineE4]] fold discipline
+    * (index-order double sums, same grouping and floor). The
+    * reconstruction never materializes an array — the 64-lane loop reads
+    * codebook doubles straight from the packed codes (arithmetic `>>`
+    * then `& 15` is sign-safe even for subvector 15 in the top bits).
+    * NULL for ragged/null-element q (the cosineE4 contract).
     */
-  def pqCosE4(codes: Long, q: ArrayData): java.lang.Long = {
+  def pqCosE4(codes: Long, q: ArrayData, cb: Array[Double]): java.lang.Long = {
     if (q.numElements() != 64) return null
-    val cb = pqCodebook
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < 64) {
       if (q.isNullAt(i)) return null
-      val c = cb(i / 8)(((codes >> (4 * (i / 8))) & 15L).toInt)(i % 8)
+      val s = i / PqSubDim
+      val k = ((codes >> (4 * s)) & 15L).toInt
+      val c = cb((s * PqK + k) * PqSubDim + i % PqSubDim)
       val y = q.getFloat(i).toDouble
       dot += c * y
       na += c * c
@@ -247,22 +261,37 @@ final case class CosineE4(left: Expression, right: Expression)
   override def prettyName: String = "cosine_e4"
 }
 
-final case class PqCodes(child: Expression) extends UnaryExpression {
+/** PQ encode. `codebook` is a flattened [[VecKernels.pqInitCodebook]]-layout
+  * constant (a `Seq` so expression equality/canonicalization stays
+  * structural); it defaults to the deterministic Lloyd INIT codebook, which
+  * is what the SQL surface registration exposes — the q55 query path passes
+  * the [[graft.operators.Codebooks]]-trained one.
+  */
+final case class PqCodes(child: Expression,
+    codebook: Seq[Double] = VecKernels.pqInitCodebook.toSeq)
+    extends UnaryExpression {
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
   override def dataType: DataType = LongType
   // null beyond child nullability: ragged / null-element vectors
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if codebook.length !=
+        VecKernels.PqSubs * VecKernels.PqK * VecKernels.PqSubDim =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_codes codebook must have ${VecKernels.PqSubs}x${VecKernels.PqK}" +
+          s"x${VecKernels.PqSubDim} entries (got ${codebook.length})")
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure("pq_codes requires array<float>")
   }
   override def nullSafeEval(input: Any): Any =
-    VecKernels.pqCodes(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    VecKernels.pqCodes(input.asInstanceOf[ArrayData], cbArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("pqCodes")
       s"""
-         |java.lang.Long $tmp = graft.functions.VecKernels.pqCodes($c);
+         |java.lang.Long $tmp = graft.functions.VecKernels.pqCodes($c, $cbRef);
          |if ($tmp == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -270,29 +299,44 @@ final case class PqCodes(child: Expression) extends UnaryExpression {
          |}
        """.stripMargin
     })
+  }
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
   override def prettyName: String = "pq_codes"
 }
 
-final case class PqCosE4(left: Expression, right: Expression)
+/** Asymmetric PQ score; `codebook` as in [[PqCodes]] — the two MUST be the
+  * same array for the reconstruction to mean anything.
+  */
+final case class PqCosE4(left: Expression, right: Expression,
+    codebook: Seq[Double] = VecKernels.pqInitCodebook.toSeq)
     extends BinaryExpression {
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      case _ if codebook.length !=
+          VecKernels.PqSubs * VecKernels.PqK * VecKernels.PqSubDim =>
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_cos_e4 codebook must have ${VecKernels.PqSubs}x" +
+            s"${VecKernels.PqK}x${VecKernels.PqSubDim} entries " +
+            s"(got ${codebook.length})")
       case (LongType, ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "pq_cos_e4 requires (bigint codes, array<float> query)")
     }
   override def nullSafeEval(codes: Any, q: Any): Any =
-    VecKernels.pqCosE4(codes.asInstanceOf[Long], q.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    VecKernels.pqCosE4(codes.asInstanceOf[Long], q.asInstanceOf[ArrayData],
+      cbArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     nullSafeCodeGen(ctx, ev, (c, q) => {
       val tmp = ctx.freshName("pqCos")
       s"""
-         |java.lang.Long $tmp = graft.functions.VecKernels.pqCosE4($c, $q);
+         |java.lang.Long $tmp =
+         |  graft.functions.VecKernels.pqCosE4($c, $q, $cbRef);
          |if ($tmp == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -300,6 +344,7 @@ final case class PqCosE4(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
+  }
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqCosE4 = copy(left = newLeft, right = newRight)
   override def prettyName: String = "pq_cos_e4"

@@ -112,21 +112,15 @@ object SimilarityQueries {
 
   // ---- IVF-style ANN (q51) -----------------------------------------------
 
-  /** Deterministic IVF coarse centroids: cell j, lane i =
-    * (((j·64+i)·2654435761 mod 2003) − 1001) / 1024 — integer arithmetic
-    * plus division by a power of two, so the value is EXACTLY
-    * representable in float and double and recomputable bit-identically
-    * by the DuckDB oracle (no RNG, no trig, no cross-libm drift). At real
-    * scale these would come from a k-means job persisted beside the
-    * corpus; the assignment/probe/rerank plan below is unchanged by where
-    * the centroids come from.
+  /** Probe cells per query. The synthetic embeddings are isotropic (no
+    * cluster structure to exploit — measured within-label cosine ≈ 0.02,
+    * true top-10 neighbors at cosine 0.27-0.4), so recall is bought by
+    * probe fraction: 12 of [[Codebooks.IvfCells]] 32 trained cells ≈ 37%
+    * of the corpus scanned for 7-10/10 recall@10 vs brute (vs 3/10 for
+    * round-3's 4/16 untrained cells). On a REAL clustered corpus the same
+    * plan probes far fewer cells; the dial is nprobe, not the plan.
     */
-  val IvfCells = 16
-  val IvfProbes = 4
-  def ivfCentroid(j: Int): Array[Float] =
-    Array.tabulate(64) { i =>
-      ((((j.toLong * 64 + i) * 2654435761L) % 2003L - 1001L) / 1024.0).toFloat
-    }
+  val IvfProbes = 12
 
   /** (−cos_e4, j) structs of v against every centroid, one [[cosE4]]
     * codegen kernel call per centroid, referenced exactly ONCE in the
@@ -136,30 +130,35 @@ object SimilarityQueries {
     * Ascending (−cos, j) order = (cos DESC, j) — smallest j wins ties,
     * which the DuckDB oracle mirrors with row_number.
     */
-  private def ivfSorted(v: Column): Column =
-    sort_array(array((0 until IvfCells).map(j =>
-      struct((lit(0L) - cosE4(v, typedlit(ivfCentroid(j)))).as("neg"),
+  private def ivfSorted(v: Column, cents: Array[Array[Float]]): Column =
+    sort_array(array(cents.indices.map(j =>
+      struct((lit(0L) - cosE4(v, typedlit(cents(j)))).as("neg"),
         lit(j).as("j"))): _*))
 
-  /** Coarse cell assignment: argmax cosine, first max wins on ties. */
-  def ivfCell(v: Column): Column =
-    element_at(ivfSorted(v), 1).getField("j").cast("int")
+  /** Coarse cell assignment under centroids `cents`: argmax cosine,
+    * first max wins on ties (also the Lloyd-assignment step
+    * [[Codebooks.trainIvf]] iterates).
+    */
+  def ivfCell(v: Column, cents: Array[Array[Float]]): Column =
+    element_at(ivfSorted(v, cents), 1).getField("j").cast("int")
 
-  /** IVF ANN: assign the corpus to coarse cells ONCE (a narrow map — at
-    * 10^10 vectors this is the partition/cluster key you'd write the
-    * table by), probe the query's `IvfProbes` nearest cells only, rerank
-    * the candidates exactly with the cosine kernel. Complements [[annLsh]]
-    * (hyperplane buckets): same plan shape, data-adaptive cells.
+  /** IVF ANN: assign the corpus to the [[Codebooks]]-trained coarse cells
+    * ONCE (a narrow map — at 10^10 vectors this is the partition/cluster
+    * key you'd write the table by), probe the query's `IvfProbes` nearest
+    * cells only, rerank the candidates exactly with the cosine kernel.
+    * Complements [[annLsh]] (hyperplane buckets): same plan shape,
+    * data-adaptive cells.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = Codebooks.ivf(s, dir)
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") =!= 0)
-      .withColumn("cell", ivfCell(col("embedding")))
+      .withColumn("cell", ivfCell(col("embedding"), cents))
     // query's nprobe nearest cells: first n of the same sorted struct
     // array the assignment uses
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q"),
-        slice(ivfSorted(col("embedding")), 1, IvfProbes).getField("j")
+        slice(ivfSorted(col("embedding"), cents), 1, IvfProbes).getField("j")
           .as("cells"))
     val probes = query.select(col("q"), explode(col("cells")).as("cell"))
     corpus.join(broadcast(probes), "cell")
@@ -170,43 +169,56 @@ object SimilarityQueries {
 
   // ---- PQ ANN (q55) --------------------------------------------------------
 
-  /** Packed PQ codes — 8 subvectors × 4 bits ([[graft.functions.PqCodes]]
-    * codegen kernel over the deterministic exact-rational codebook).
+  /** Packed PQ codes — 16 subvectors × 4 bits ([[graft.functions.PqCodes]]
+    * codegen kernel; `cb` defaults to the deterministic init codebook,
+    * queries pass the [[Codebooks]]-trained one).
     */
-  def pqCodesCol(v: Column): Column =
-    ColumnBridge.column(graft.functions.PqCodes(ColumnBridge.expression(v)))
+  def pqCodesCol(v: Column,
+      cb: Array[Double] = graft.functions.VecKernels.pqInitCodebook): Column =
+    ColumnBridge.column(graft.functions.PqCodes(
+      ColumnBridge.expression(v), cb.toSeq))
 
-  /** floor(10⁴·cos(reconstruction(codes), q)) — the asymmetric PQ score. */
-  def pqCosCol(codes: Column, q: Column): Column =
+  /** floor(10⁴·cos(reconstruction(codes), q)) — the asymmetric PQ score
+    * (`cb` MUST be the codebook the codes were encoded with).
+    */
+  def pqCosCol(codes: Column, q: Column,
+      cb: Array[Double] = graft.functions.VecKernels.pqInitCodebook): Column =
     ColumnBridge.column(graft.functions.PqCosE4(
-      ColumnBridge.expression(codes), ColumnBridge.expression(q)))
+      ColumnBridge.expression(codes), ColumnBridge.expression(q), cb.toSeq))
 
-  /** How many ADC candidates the exact rerank reads. */
-  val PqRerank = 20
+  /** How many ADC candidates the exact rerank reads. 100 (up from
+    * round-3's 20) because the isotropic synthetic embeddings leave
+    * quantization MSE ≈ 0.68 of a unit-norm signal even after Lloyd —
+    * ADC ordering is noisy, so recall lives in the rerank depth (7-8/10
+    * measured at 100 vs 3/10 at 20). Rerank cost stays O(depth), not
+    * O(corpus).
+    */
+  val PqRerank = 100
 
-  /** PQ ANN: the corpus is encoded ONCE into 4-byte codes (a narrow map —
-    * at 10^10 vectors the 256 B float rows become a 40 GB code table that
-    * fits executor memory, which is the entire point of PQ), the query is
-    * scored against every code by reconstruction cosine (one codegen
-    * kernel call per row, no float vector read), and only the top
-    * [[PqRerank]] candidates touch their raw embeddings for the exact
-    * rerank. Completes the ANN family: brute (exact baseline), LSH
-    * (hyperplane buckets), IVF (coarse cells), PQ (compressed exhaustive).
-    * The raw embedding rides the candidate row here because the corpus is
-    * one table; at scale the rerank is a 20-row broadcast-hash fetch
-    * against the vector store instead — the ADC scan itself never reads
-    * floats either way.
+  /** PQ ANN: the corpus is encoded ONCE into 8-byte codes (a narrow map —
+    * at 10^10 vectors the 256 B float rows become an 80 GB code table
+    * spread across a cluster's executor memory, which is the entire point
+    * of PQ), the query is scored against every code by reconstruction
+    * cosine (one codegen kernel call per row, no float vector read), and
+    * only the top [[PqRerank]] candidates touch their raw embeddings for
+    * the exact rerank. Completes the ANN family: brute (exact baseline),
+    * LSH (hyperplane buckets), IVF (coarse cells), PQ (compressed
+    * exhaustive). The raw embedding rides the candidate row here because
+    * the corpus is one table; at scale the rerank is a 100-row
+    * broadcast-hash fetch against the vector store instead — the ADC scan
+    * itself never reads floats either way.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
+    val cb = Codebooks.pq(s, dir)
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q"))
     emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        pqCodesCol(col("embedding")).as("codes"))
+        pqCodesCol(col("embedding"), cb).as("codes"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"), col("embedding"), col("q"),
-        pqCosCol(col("codes"), col("q")).as("adc_e4"))
+        pqCosCol(col("codes"), col("q"), cb).as("adc_e4"))
       .orderBy(col("adc_e4").desc, col("vec_id"))
       .limit(PqRerank)
       .select(col("vec_id"), col("adc_e4"),
@@ -273,14 +285,15 @@ object SimilarityQueries {
   }
 
   /** Cosine-e4 threshold above which two same-cell vectors are semantic
-    * duplicates (calibrated on the synthetic table: removes 132/500 at
-    * sf0.001 while cross-cell survivors stay).
+    * duplicates (calibrated on the synthetic table: removes 112/500 at
+    * sf0.001 under the trained 32-cell quantizer while cross-cell
+    * survivors stay).
     */
   val SemDedupTau = 3000
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * block the corpus by IVF coarse cell (the paper's k-means cluster,
-    * here the same deterministic [[ivfCell]] quantizer q51 probes), then
+    * here the same [[Codebooks]]-trained quantizer q51 probes), then
     * inside each cell drop every vector that is ≥ [[SemDedupTau]]-similar
     * to a LOWER-id vector — keep-first, deterministic, and independent of
     * execution order (membership depends only on the pair set, not on
@@ -292,14 +305,15 @@ object SimilarityQueries {
     * all-pairs join never sees the corpus, only co-cell candidates — and
     * each cell's n² is spread over [[NearDupBlocks]] triangle block-pair
     * tasks (the [[embedNearDup]] machinery), so a hot cell cannot land in
-    * one straggler task. At 10^10 vectors you'd raise [[IvfCells]] (k ∝ √N
+    * one straggler task. At 10^10 vectors you'd raise [[Codebooks.IvfCells]] (k ∝ √N
     * keeps per-cell n² flat) and write the corpus partitioned by cell so
     * the pair join is shuffle-free.
     */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val cents = Codebooks.ivf(s, dir)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("cell", ivfCell(col("embedding")).cast("long"))
+      .withColumn("cell", ivfCell(col("embedding"), cents).cast("long"))
     val dups = blockedPairs(emb, "cell")
       .filter(cosE4(col("emb_a"), col("emb_b")) >= SemDedupTau)
       .select(col("vec_b").as("vec_id")).distinct()

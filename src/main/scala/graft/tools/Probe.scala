@@ -25,6 +25,28 @@ object Probe {
           s"vec=${r.getLong(0)} adc=${r.getLong(1)} cos=${r.getLong(2)}"))
         println(s"recall@10 vs brute: ${(brute &
           pq.map(_.getLong(0)).toSet).size}/10")
+      case "codebooks" =>
+        // dump trained codebooks for cross-checking against the python
+        // Lloyd prototype (exact match expected)
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+        val cents = graft.operators.Codebooks.ivf(spark, dir)
+        cents.zipWithIndex.foreach { case (c, j) =>
+          println(s"IVF $j ${c.take(4).mkString(",")}")
+        }
+        val cb = graft.operators.Codebooks.pq(spark, dir)
+        (0 until 4).foreach { s =>
+          println(s"PQ $s ${cb.slice(s * 64, s * 64 + 8).mkString(",")}")
+        }
+        val brute = graft.operators.SimilarityQueries
+          .annBruteForce(spark, dir).collect().map(_.getLong(0)).toSet
+        val ivf = graft.operators.SimilarityQueries
+          .annIvf(spark, dir).collect().map(_.getLong(0)).toSet
+        val pqr = graft.operators.SimilarityQueries
+          .annPq(spark, dir).collect().map(_.getLong(0)).toSet
+        println(s"IVF recall ${(brute & ivf).size}/10; " +
+          s"PQ recall ${(brute & pqr).size}/10")
+        println(s"semdedup survivors: ${graft.operators.SimilarityQueries
+          .semDedup(spark, dir).count()}")
       case other => sys.error(s"unknown probe: $other")
     }
     results.foreach { case (k, v) => println(f"$k%-34s $v%12.3f") }

@@ -100,27 +100,33 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     * exact-rational codebook — a different code path from the kernel's
     * packed while-loops.
     */
-  private def pqRef(v: Seq[Float]): Long =
+  private def pqRef(v: Seq[Float], cb: Array[Double]): Long = {
+    import VecKernels.{PqSubDim, PqK}
     (0 until VecKernels.PqSubs).map { s =>
-      val code = (0 until VecKernels.PqK).minBy { k =>
+      val code = (0 until PqK).minBy { k =>
         // minBy keeps the FIRST minimum — the kernel's d < bestD tiebreak
         var d = 0.0
-        (0 until 8).foreach { i =>
-          val x = v(s * 8 + i).toDouble - VecKernels.pqCentroid(s, k, i)
+        (0 until PqSubDim).foreach { i =>
+          val x = v(s * PqSubDim + i).toDouble -
+            cb((s * PqK + k) * PqSubDim + i)
           d += x * x
         }
         d
       }
       code.toLong << (4 * s)
     }.reduce(_ | _)
+  }
 
-  /** Reconstruction cosine twin via the public codebook + the cosineE4
+  /** Reconstruction cosine twin via the flattened codebook + the cosineE4
     * fold discipline.
     */
-  private def pqCosRef(codes: Long, q: Seq[Float]): Long = {
+  private def pqCosRef(codes: Long, q: Seq[Float], cb: Array[Double]): Long = {
+    import VecKernels.{PqSubDim, PqK}
     var dot = 0.0; var na = 0.0; var nb = 0.0
     (0 until 64).foreach { i =>
-      val c = VecKernels.pqCentroid(i / 8, ((codes >> (4 * (i / 8))) & 15L).toInt, i % 8)
+      val s = i / PqSubDim
+      val k = ((codes >> (4 * s)) & 15L).toInt
+      val c = cb((s * PqK + k) * PqSubDim + i % PqSubDim)
       val y = q(i).toDouble
       dot += c * y; na += c * c; nb += y * y
     }
@@ -128,24 +134,30 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pq_codes / pq_cos_e4 == transparent driver recomputation on every " +
-    "real vector; codes stay within 4 bits per subvector") {
+    "real vector, for the init codebook AND an arbitrary custom one " +
+    "(the trained-codebook path)") {
     import spark.implicits._
-    val rows = emb
-      .select(col("vec_id"),
-        SimilarityQueries.pqCodesCol(col("embedding")).as("codes"),
-        col("embedding"))
-      .as[(Long, Long, Seq[Float])].collect()
-    assert(rows.nonEmpty)
-    val q = rows.find(_._1 == 0L).get._3
-    val adc = emb
-      .select(col("vec_id"), SimilarityQueries.pqCosCol(
-        SimilarityQueries.pqCodesCol(col("embedding")),
-        typedlit(q)).as("adc"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    rows.foreach { case (id, codes, v) =>
-      assert((codes >> 32) == 0L, s"codes overflow 32 bits for vec $id")
-      assert(codes == pqRef(v), s"pq_codes mismatch for vec $id")
-      assert(adc(id) == pqCosRef(codes, q), s"pq_cos mismatch for vec $id")
+    // a second codebook distinct from the init one, to pin that the
+    // kernels really score against the codebook they were HANDED
+    val cb2 = VecKernels.pqInitCodebook.map(x => x * 0.5 + 0.125)
+    for (cb <- Seq(VecKernels.pqInitCodebook, cb2)) {
+      val rows = emb
+        .select(col("vec_id"),
+          SimilarityQueries.pqCodesCol(col("embedding"), cb).as("codes"),
+          col("embedding"))
+        .as[(Long, Long, Seq[Float])].collect()
+      assert(rows.nonEmpty)
+      val q = rows.find(_._1 == 0L).get._3
+      val adc = emb
+        .select(col("vec_id"), SimilarityQueries.pqCosCol(
+          SimilarityQueries.pqCodesCol(col("embedding"), cb),
+          typedlit(q), cb).as("adc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, codes, v) =>
+        assert(codes == pqRef(v, cb), s"pq_codes mismatch for vec $id")
+        assert(adc(id) == pqCosRef(codes, q, cb),
+          s"pq_cos mismatch for vec $id")
+      }
     }
   }
 
