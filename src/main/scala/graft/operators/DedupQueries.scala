@@ -80,10 +80,23 @@ object DedupQueries {
     * per map partition, never a buffer. Phase 2's `collect_list` only ever
     * sees shingles with df ≤ [[DfCap]], so every posting buffer is ≤ cap
     * elements BY CONSTRUCTION and the Σ min(df,cap)²/2 pair bound is real.
-    * Both phases shuffle `inv` by shingle with identical partitioning, so
-    * the exchange is planned once and reused (PlanSpec pins the anti-join
-    * sitting below the collect_list aggregate; HotKeyDedupSpec pins the
-    * cap boundary semantics on planted hot-shingle corpora).
+    * (PlanSpec pins the anti-join sitting below the collect_list
+    * aggregate; HotKeyDedupSpec pins the cap boundary semantics on
+    * planted hot-shingle corpora.)
+    *
+    * Plan-shape note: Catalyst clones the scan→shingle→cap subtree under
+    * each consumer (`pairs` and the two `sizes` joins) — exchange reuse
+    * does not fire across these branches (collect_list is flagged
+    * nondeterministic, which defeats canonical plan matching). The clones
+    * are narrow map work that parallelizes linearly; measured warm cost
+    * at sf0.1 is ~3.4 s. A "derive sizes from self-pairs (a,a) of the
+    * same counted stream" restructure was measured WORSE (7.1 s — it
+    * clones the whole pipeline three times instead, still zero reuse).
+    * At 10^10 docs the two-phase shape is the right one regardless: the
+    * hot anti-join is map-side (broadcast of the small hot set), so
+    * boilerplate occurrences never transit ANY exchange, and a real
+    * pipeline materializes the capped inverted index (`groups`) as a
+    * table between phases, which removes the clones outright.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -47,6 +47,13 @@ object Probe {
           s"PQ recall ${(brute & pqr).size}/10")
         println(s"semdedup survivors: ${graft.operators.SimilarityQueries
           .semDedup(spark, dir).count()}")
+      case "explain" =>
+        // final AQE plan of a named driver query at the given sf dir
+        val name = args.lift(1).getOrElse("q21_ngram_jaccard")
+        val dir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.count() // materialize so AQE reports the FINAL plan
+        println(df.queryExecution.executedPlan.toString)
       case other => sys.error(s"unknown probe: $other")
     }
     results.foreach { case (k, v) => println(f"$k%-34s $v%12.3f") }
