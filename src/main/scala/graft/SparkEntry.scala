@@ -58,6 +58,7 @@ object SparkEntry {
     "q53_corpus_funnel" -> (TextQueries.corpusFunnel _),
     "q54_pii_scrub" -> (TextQueries.piiScrub _),
     "q56_domain_mix" -> (TextQueries.domainMix _),
+    "q57_perplexity" -> (TextQueries.perplexityFilter _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
@@ -720,6 +721,51 @@ object SparkEntry {
         |  CAST(max(1000 - CAST(regexp_extract(source, '\d+') AS BIGINT) * 45)
         |    AS BIGINT) AS target_permille
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q57: DuckDB retrains the bigram LM from the raw table (integer
+    // counts), rescoring every bigram occurrence with the same
+    // floor(1e4·ln(c12/c1)) discretization and BIGINT sums — the whole
+    // perplexity pipeline re-derived, nothing trusted from Spark. The
+    // tokenization mirror (trim→lower→split \s+ → joined bigrams) is the
+    // proven q30/q31 fragment.
+    "q57_perplexity" ->
+      s"""WITH wp AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+        |    AS ws
+        |  FROM documents),
+        |gp AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM wp),
+        |m12 AS (SELECT g, count(*) AS c12 FROM gp GROUP BY g),
+        |m1 AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+        |  FROM m12 GROUP BY 1),
+        |vv AS (
+        |  SELECT count(DISTINCT split_part(g, ' ', 2)) AS vsz FROM m12),
+        |mm AS (
+        |  SELECT m12.g, m12.c12, m1.c1
+        |  FROM m12 JOIN m1 ON m1.w1 = split_part(m12.g, ' ', 1)),
+        |pd AS (
+        |  SELECT gp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CAST(floor(ln((mm.c12 + 1)::DOUBLE /
+        |      (mm.c1 + vv.vsz)::DOUBLE) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS logp_e4
+        |  FROM gp JOIN mm ON mm.g = gp.g, vv GROUP BY gp.doc_id)
+        |SELECT doc_id, n_bigrams, logp_e4, mean_e4,
+        |  CASE WHEN n_bigrams = 0 THEN 'short'
+        |    WHEN mean_e4 >= ${TextQueries.PplHeadE4} THEN 'head'
+        |    WHEN mean_e4 >= ${TextQueries.PplTailE4} THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM (
+        |  SELECT d.doc_id,
+        |    coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(pd.logp_e4, 0) AS logp_e4,
+        |    CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
+        |      ELSE CAST(floor(pd.logp_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
+        |      END AS mean_e4
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q52: DuckDB recomputes the SemDeDup pipeline independently — it
     // re-RUNS the same deterministic Lloyd training as q51's oracle
     // ([[ivfLloydCtes]]) for the cell assignment, then the within-cell

@@ -234,6 +234,92 @@ object TextQueries {
         first(col("target_permille")).as("target_permille"))
       .orderBy("source")
 
+  /** Perplexity bucket cutoffs for [[perplexityFilter]], on the
+    * floor(10⁴·mean ln P) scale (CCNet's head/middle/tail discipline,
+    * Wenzek et al. 2020, arXiv:1911.00359 — cutoffs are corpus-calibrated
+    * constants there too, one pair per language). Head = most typical of
+    * the reference distribution (mean log-prob ≥ [[PplHeadE4]]), tail =
+    * least typical (< [[PplTailE4]]). Calibrated at the synthetic-corpus
+    * terciles (the distribution is scale-stable: 33/67 percentiles read
+    * −33996/−33752 at sf0.001 and −33998/−33739 at sf0.01; buckets split
+    * 162/175/163 at sf0.01).
+    */
+  val PplHeadE4 = -33730L
+  val PplTailE4 = -34000L
+
+  /** CCNet-style LM perplexity quality filter (Wenzek et al. 2020): score
+    * every document by the mean log-probability of its word bigrams under
+    * an add-one-smoothed bigram model, P(w2|w1) = (c(w1 w2) + 1) /
+    * (c(w1 ·) + V) with V = second-word vocabulary size, then bucket into
+    * head/middle/tail. Smoothing is load-bearing, not a nicety: under raw
+    * MLE a bigram whose context appears exactly once gets P = 1 (ln = 0),
+    * so never-before-seen gibberish scores as maximally predictable — the
+    * exact opposite of the filter's intent. CCNet trains KenLM on
+    * Wikipedia;
+    * external data is off-limits here, so the model is trained on the
+    * corpus itself (self-perplexity: tail = atypical-of-corpus text —
+    * gibberish, boilerplate soups; the filter semantics and the plan are
+    * unchanged if the counts table comes from a reference corpus instead,
+    * which is the one-line swap a production run would make).
+    *
+    * Determinism across engines: counts and V are exact integers; each
+    * bigram occurrence contributes floor(10⁴·ln((c12+1)/(c1+V))) — ln of
+    * one double ratio, the same discretization discipline every cosine
+    * oracle rides —
+    * and the per-doc total is a sum of BIGINTs (order-independent), so
+    * the DuckDB oracle recomputes the model and every score exactly.
+    *
+    * Scale shape: training is two partial-aggregable counts (bigram,
+    * context) — never a collected model object; scoring joins the gram
+    * stream against the counts TABLE (AQE broadcasts it at small scale; at
+    * 10^10 docs it stays a shuffle join keyed by gram, plus a min-count
+    * prune as the model-size dial) and partial-aggregates the per-doc sum.
+    * No driver-side model state at any size. Self-training makes the gram
+    * kernel feed two consumers (Catalyst clones the narrow map, as in
+    * ngramJaccard); a production run trains and scores as separate jobs
+    * over the persisted counts table, which removes the clone.
+    *
+    * Output: (doc_id, n_bigrams, logp_e4 total, mean_e4, bucket) with
+    * bucket ∈ head/middle/tail/short ("short" = no bigram at all).
+    */
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val grams = docs.select(col("doc_id"),
+      explode(DedupQueries.wordGrams(col("text"), 2)).as("g"))
+    val c12 = grams.groupBy("g").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    // V: distinct second words — a 1-row aggregate ridden as a broadcast
+    // (the highWaterStop pattern: one plan, no collect)
+    val vocab = c12.select(substring_index(col("g"), " ", -1).as("w2"))
+      .distinct().agg(count(lit(1)).as("vsz"))
+    val model = c12
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, "w1")
+      .select(col("g"), col("c12"), col("c1"))
+    val perDoc = grams.join(model, "g")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("vsz")).cast("double")) * 10000)
+          .cast("long").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_e4"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logp_e4"), lit(0L)).as("logp_e4"))
+      .withColumn("mean_e4",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(floor(col("logp_e4") / col("n_bigrams")).cast("long")))
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, "short")
+          .when(col("mean_e4") >= PplHeadE4, "head")
+          .when(col("mean_e4") >= PplTailE4, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char
     * class histogram) for cheap near-dup pre-clustering at 100 TB scale.

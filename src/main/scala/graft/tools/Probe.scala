@@ -47,6 +47,17 @@ object Probe {
           s"PQ recall ${(brute & pqr).size}/10")
         println(s"semdedup survivors: ${graft.operators.SimilarityQueries
           .semDedup(spark, dir).count()}")
+      case "ppl" =>
+        // mean_e4 distribution of the perplexity filter (threshold calib)
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+        val df = graft.operators.TextQueries.perplexityFilter(spark, dir)
+        df.selectExpr(
+          "min(mean_e4)", "approx_percentile(mean_e4, 0.1)",
+          "approx_percentile(mean_e4, 0.33)",
+          "approx_percentile(mean_e4, 0.67)",
+          "approx_percentile(mean_e4, 0.9)", "max(mean_e4)")
+          .show(false)
+        df.groupBy("bucket").count().show(false)
       case "explain" =>
         // final AQE plan of a named driver query at the given sf dir
         val name = args.lift(1).getOrElse("q21_ngram_jaccard")

@@ -398,6 +398,69 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // (trained 32-cell quantizer; the round-3 fixed 16-cell demo gave 368)
   }
 
+  test("perplexity filter: full LM recompute matches exactly; exact dups " +
+    "score identically; unique-bigram gibberish scores below repeated " +
+    "text; a 1-token doc is 'short'") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // exact dup of 1 → identical row
+      (3L, "zq xv qqj kkw zzl pfm"), // every bigram unique → most surprising
+      (4L, "word"), // one token → zero bigrams → 'short'
+      (5L, "the cat sat on the mat and the cat sat again"))
+    val d = java.nio.file.Files.createTempDirectory("ppl-fix").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+
+    // independent full recompute: same tokenization, MLE counts, and
+    // floor(1e4·ln) + BIGINT-sum discipline, in plain Scala
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    val grams = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length >= 2) w.sliding(2).map(p => (id, p.mkString(" "))).toSeq
+      else Seq.empty
+    }
+    val c12 = grams.groupBy(_._2).map { case (g, o) => g -> o.size.toLong }
+    val c1 = grams.groupBy(_._2.split(" ")(0))
+      .map { case (w1, o) => w1 -> o.size.toLong }
+    val vsz = grams.map(_._2.split(" ")(1)).distinct.size.toLong
+    val expect = docs.map { case (id, _) =>
+      val lps = grams.filter(_._1 == id).map { case (_, g) =>
+        math.floor(math.log((c12(g) + 1).toDouble /
+          (c1(g.split(" ")(0)) + vsz).toDouble) * 10000).toLong
+      }
+      val n = lps.size.toLong
+      val s = lps.sum
+      val mean = if (n == 0) 0L else math.floor(s.toDouble / n).toLong
+      val bucket =
+        if (n == 0) "short"
+        else if (mean >= TextQueries.PplHeadE4) "head"
+        else if (mean >= TextQueries.PplTailE4) "middle"
+        else "tail"
+      (id, n, s, mean, bucket)
+    }
+    val got = TextQueries.perplexityFilter(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == expect)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L).copy(_1 = 2L) == byId(2L)) // dup text → identical score
+    assert(byId(3L)._4 < byId(1L)._4) // gibberish more surprising
+    assert(byId(4L) == ((4L, 0L, 0L, 0L, "short")))
+  }
+
+  test("perplexity filter on the real table: buckets split the corpus at " +
+    "the calibrated terciles and every score is reproducible") {
+    val rows = TextQueries.perplexityFilter(spark, "/root/testdata/sf0.001")
+      .groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet.subsetOf(Set("head", "middle", "tail", "short")))
+    // calibrated cutoffs → all three quality buckets are populated
+    assert(rows.getOrElse("head", 0L) > 50L)
+    assert(rows.getOrElse("middle", 0L) > 50L)
+    assert(rows.getOrElse("tail", 0L) > 50L)
+    assert(rows.values.sum == 500L)
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()

@@ -188,6 +188,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gram generation duplicated beyond the two designed sides:\n$p")
   }
 
+  test("perplexity filter (q57): model lookups are equi-joins and the " +
+    "1-row vocab aggregate is the only nested-loop (broadcast) — no " +
+    "cartesian over data, no UDF, no window") {
+    val p = plan(TextQueries.perplexityFilter(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
+      s"non-codegen eval in the scoring path:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"), s"unexpected window in:\n$p")
+    // the only nested-loop join is the broadcast of the 1-row V aggregate
+    assert(finalPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"unexpected nested-loop joins:\n$p")
+  }
+
   test("semantic dedup (q52): cell-blocked equi-join — no cartesian, no " +
     "interpreted lambda, anti-join for the survivor set") {
     val p = plan(SimilarityQueries.semDedup(spark, dir))
