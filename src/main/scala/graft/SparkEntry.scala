@@ -59,6 +59,7 @@ object SparkEntry {
     "q54_pii_scrub" -> (TextQueries.piiScrub _),
     "q56_domain_mix" -> (TextQueries.domainMix _),
     "q57_perplexity" -> (TextQueries.perplexityFilter _),
+    "q58_importance_resample" -> (TextQueries.importanceResample _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
@@ -763,6 +764,48 @@ object SparkEntry {
         |    coalesce(pd.logp_e4, 0) AS logp_e4,
         |    CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
         |      ELSE CAST(floor(pd.logp_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
+        |      END AS mean_e4
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q58: DuckDB retrains BOTH count models (source = all docs, target =
+    // the designated lang slice) from the raw table and rescores every
+    // occurrence with the same exact-BIGINT-products-then-one-ln
+    // discretization — full independent re-derivation, as q57.
+    "q58_importance_resample" ->
+      s"""WITH wd AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |gd AS (
+        |  SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM wd),
+        |sc AS (SELECT g, count(*) AS cs FROM gd GROUP BY g),
+        |tc AS (SELECT g, count(*) AS ct FROM gd
+        |  WHERE lang = '${TextQueries.DsirTargetLang}' GROUP BY g),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
+        |  CAST(count(*) AS BIGINT) AS v FROM sc),
+        |ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tc),
+        |md AS (
+        |  SELECT sc.g, sc.cs, coalesce(tc.ct, 0) AS ct
+        |  FROM sc LEFT JOIN tc ON tc.g = sc.g),
+        |pd AS (
+        |  SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CAST(floor(ln(
+        |      ((md.ct + 1) * (tot.ns + tot.v))::DOUBLE /
+        |      ((ttot.nt + tot.v) * (md.cs + 1))::DOUBLE) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS logw_e4
+        |  FROM gd JOIN md ON md.g = gd.g, tot, ttot GROUP BY gd.doc_id)
+        |SELECT doc_id, n_bigrams, logw_e4, mean_e4,
+        |  CAST(CASE WHEN n_bigrams > 0 AND mean_e4 > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept
+        |FROM (
+        |  SELECT d.doc_id,
+        |    coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(pd.logw_e4, 0) AS logw_e4,
+        |    CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
+        |      ELSE CAST(floor(pd.logw_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
         |      END AS mean_e4
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,

@@ -320,6 +320,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The [[importanceResample]] target slice: DSIR needs a reference
+    * distribution; in-sandbox (no external data) the designated target is
+    * the `lang = 'en'` slice of the corpus itself — swapping in counts
+    * from an external reference corpus changes one input table, not the
+    * plan.
+    */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): weight every document by its target-vs-source
+    * log-likelihood ratio over word-bigram features — Σ over bigram
+    * occurrences of ln(p̂_target(g) / p̂_source(g)) with add-one-smoothed
+    * unigram-of-bigrams estimates p̂(g) = (c(g)+1)/(N+V) — and keep the
+    * documents whose MEAN ratio is positive (more probable under the
+    * target distribution than the source). DSIR proper samples
+    * ∝ exp(weight) with Gumbel noise; the deterministic in-sandbox rule is
+    * the threshold form (importance FILTERING), which keeps the oracle
+    * exact. Complements [[perplexityFilter]]: q57 scores absolute
+    * typicality, q58 scores directional match to a designated target
+    * slice ([[DsirTargetLang]]).
+    *
+    * Determinism across engines: both models are integer counts; each
+    * occurrence contributes floor(10⁴·ln((c_t+1)·(N_s+V) /
+    * ((N_t+V)·(c_s+1)))) where the products are computed EXACTLY in
+    * BIGINT before one double division (exact up to ~3·10⁹ feature
+    * occurrences per side; past that a production run scores
+    * ln(p_t)−ln(p_s) instead — same filter, different last-ulp rounding),
+    * and per-doc totals are BIGINT sums. DuckDB recomputes everything
+    * from the raw table.
+    *
+    * Scale shape: same as q57 — two partial-aggregable count tables
+    * (source = every doc, target = the reference slice), a gram-keyed
+    * join against the counts (left join for the target side: unseen-in-
+    * target grams smooth to c_t = 0), 1-row totals ridden as broadcasts,
+    * per-doc partial-aggregated sums. DSIR's hashed-feature variant
+    * (xxhash64 buckets) drops in by swapping the gram key for a hash
+    * bucket — kept as plain grams here so the oracle can retrain.
+    */
+  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(DedupQueries.wordGrams(col("text"), 2)).as("g"))
+    val srcC = grams.groupBy("g").agg(count(lit(1)).as("cs"))
+    val tgtC = grams.filter(col("lang") === DsirTargetLang)
+      .groupBy("g").agg(count(lit(1)).as("ct"))
+    // 1-row totals: N_source, V (distinct grams anywhere), N_target
+    val totals = srcC.agg(sum("cs").as("ns"), count(lit(1)).as("v"))
+    val tTot = tgtC.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    val model = srcC.join(tgtC, Seq("g"), "left")
+      .select(col("g"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val perDoc = grams.join(model, "g")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(tTot))
+      .select(col("doc_id"),
+        floor(log(((col("ct") + 1) * (col("ns") + col("v"))).cast("double") /
+          ((col("nt") + col("v")) * (col("cs") + 1)).cast("double"))
+          * 10000).cast("long").as("lw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lw").as("logw_e4"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logw_e4"), lit(0L)).as("logw_e4"))
+      .withColumn("mean_e4",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(floor(col("logw_e4") / col("n_bigrams")).cast("long")))
+      .withColumn("kept",
+        (col("n_bigrams") > 0 && col("mean_e4") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char
     * class histogram) for cheap near-dup pre-clustering at 100 TB scale.

@@ -461,6 +461,70 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.values.sum == 500L)
   }
 
+  test("importance resample: full two-model recompute matches exactly; " +
+    "keeps by CONTENT, not label — a target-typical doc outside the " +
+    "target slice is kept, target-atypical targets are dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "en"),
+      (2L, "alpha beta gamma epsilon alpha beta", "en"),
+      (3L, "uno dos tres cuatro uno dos", "es"),
+      (4L, "uno dos tres cinco uno dos", "es"),
+      (5L, "alpha beta gamma delta alpha beta", "es"), // en-like content
+      (6L, "uno dos tres cuatro uno dos", "en"), // es-like content
+      (7L, "word", "en")) // no bigram → kept = 0
+    val d = java.nio.file.Files.createTempDirectory("dsir-fix").toString
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$d/documents.parquet")
+
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    val grams = docs.flatMap { case (id, t, l) =>
+      val w = toks(t)
+      if (w.length >= 2) w.sliding(2).map(p => (id, l, p.mkString(" "))).toSeq
+      else Seq.empty
+    }
+    val cs = grams.groupBy(_._3).map { case (g, o) => g -> o.size.toLong }
+    val ct = grams.filter(_._2 == TextQueries.DsirTargetLang)
+      .groupBy(_._3).map { case (g, o) => g -> o.size.toLong }
+    val ns = grams.size.toLong
+    val v = cs.size.toLong
+    val nt = grams.count(_._2 == TextQueries.DsirTargetLang).toLong
+    val expect = docs.map { case (id, _, _) =>
+      val lws = grams.filter(_._1 == id).map { case (_, _, g) =>
+        math.floor(math.log(
+          ((ct.getOrElse(g, 0L) + 1) * (ns + v)).toDouble /
+            ((nt + v) * (cs(g) + 1)).toDouble) * 10000).toLong
+      }
+      val n = lws.size.toLong
+      val s = lws.sum
+      val mean = if (n == 0) 0L else math.floor(s.toDouble / n).toLong
+      (id, n, s, mean, if (n > 0 && mean > 0) 1L else 0L)
+    }
+    val got = TextQueries.importanceResample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expect)
+    val kept = got.map(r => r._1 -> r._5).toMap
+    assert(kept(5L) == 1L, "en-like content outside the slice must be kept")
+    assert(kept(6L) == 0L, "es-like content inside the slice must drop")
+    assert(kept(1L) == 1L && kept(3L) == 0L && kept(7L) == 0L)
+  }
+
+  test("importance resample on the real table: the target slice keeps at " +
+    "a high rate, everything else at a low rate") {
+    val rows = TextQueries
+      .importanceResample(spark, "/root/testdata/sf0.001")
+      .join(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === TextQueries.DsirTargetLang)
+      .agg(count(lit(1)).as("n"), sum("kept").as("k"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (nT, kT) = rows(true)
+    val (nO, kO) = rows(false)
+    assert(kT * 100 > nT * 70, s"target keep rate too low: $kT/$nT")
+    assert(kO * 100 < nO * 15, s"off-target keep rate too high: $kO/$nO")
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()

@@ -202,6 +202,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected nested-loop joins:\n$p")
   }
 
+  test("importance resample (q58): model lookups are equi-joins; the two " +
+    "1-row total aggregates are the only nested-loop (broadcast) joins — " +
+    "no cartesian over data, no UDF, no window") {
+    val p = plan(TextQueries.importanceResample(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF") && !p.contains("lambdafunction"),
+      s"non-codegen eval in the scoring path:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"), s"unexpected window in:\n$p")
+    assert(finalPlan.split("BroadcastNestedLoopJoin").length - 1 <= 2,
+      s"unexpected nested-loop joins:\n$p")
+  }
+
   test("semantic dedup (q52): cell-blocked equi-join — no cartesian, no " +
     "interpreted lambda, anti-join for the survivor set") {
     val p = plan(SimilarityQueries.semDedup(spark, dir))
