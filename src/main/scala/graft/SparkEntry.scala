@@ -60,6 +60,8 @@ object SparkEntry {
     "q56_domain_mix" -> (TextQueries.domainMix _),
     "q57_perplexity" -> (TextQueries.perplexityFilter _),
     "q58_importance_resample" -> (TextQueries.importanceResample _),
+    "q59_decontaminate" -> (DedupQueries.decontaminate _),
+    "q60_dup_clusters" -> (DedupQueries.dupClusters _),
     // similarity search over embeddings
     "q24_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
@@ -314,6 +316,32 @@ object SparkEntry {
   private val spanPctSql: String =
     """CAST(floor(coalesce(cov8.covered, 0) * 100 / (w8.n_tokens * 1.0))
       |    AS BIGINT)""".stripMargin
+
+  /** Shared q21 pair-derivation CTE block (tokens → distinct 3-shingles →
+    * inverted index → df-capped postings → pair intersections + kept-set
+    * sizes) — ONE definition, reused by the q21 oracle and the q60
+    * dup-cluster oracle so the edge set can never drift between them.
+    */
+  private val jaccardCtes: String =
+    """w AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |docs AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(ws)-1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |  ELSE []::VARCHAR[] END AS sh FROM w),
+      |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+      |kept AS (SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+      |    FROM inv) WHERE df <= 64),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*) AS inter
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)"""
+      .stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_lsh" ->
@@ -614,24 +642,7 @@ object SparkEntry {
         |FROM gk JOIN dk USING (doc_id) JOIN sk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q21_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
-        |docs AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= 3 THEN
-        |    list_distinct(list_transform(range(1, len(ws)-1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-        |  ELSE []::VARCHAR[] END AS sh FROM w),
-        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-        |kept AS (SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-        |    FROM inv) WHERE df <= 64),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS inter
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
+      s"""WITH $jaccardCtes
         |SELECT doc_a, doc_b,
         |  CAST(floor(inter*100.0/(sa.sz+sb.sz-inter)) AS BIGINT)
         |    AS jaccard_pct
@@ -640,6 +651,63 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(floor(inter*100.0/(sa.sz+sb.sz-inter)) AS BIGINT) >= 15
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q60: DuckDB re-derives the q21 edge set from the SAME shared CTE
+    // block (no drift possible), then computes connected components with
+    // a recursive reachability CTE and min-labels each component — an
+    // independent algorithm (transitive closure) arriving at the same
+    // clusters as Spark's min-label propagation.
+    "q60_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(floor(inter*100.0/(sa.sz+sb.sz-inter)) AS BIGINT)
+        |    >= 15),
+        |se AS (SELECT doc_a, doc_b FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |cc AS (
+        |  SELECT doc_id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT se.doc_a AS doc_id, c.lbl FROM se JOIN cc c
+        |    ON c.doc_id = se.doc_b),
+        |comp AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+        |csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY cluster)
+        |SELECT comp.doc_id, comp.cluster, csz.cluster_size,
+        |  CAST(CASE WHEN comp.doc_id = comp.cluster THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_representative
+        |FROM comp JOIN csz USING (cluster)
+        |ORDER BY comp.doc_id""".stripMargin,
+    // q59: benchmark decontamination re-derived — the 13-token distinct
+    // shingle sets (the q21 mirror at n=13), the benchmark slice's gram
+    // set, and the per-doc collision counts.
+    "q59_decontaminate" ->
+      s"""WITH wq AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |  FROM documents),
+        |dq AS (SELECT doc_id,
+        |  CASE WHEN len(ws) >= ${DedupQueries.DecontamN} THEN
+        |    list_distinct(list_transform(
+        |      range(1, len(ws) - ${DedupQueries.DecontamN - 2}),
+        |      i -> ${(0 until DedupQueries.DecontamN)
+                      .map(o => s"ws[i+$o]").mkString(" || ' ' || ")}))
+        |  ELSE []::VARCHAR[] END AS sh FROM wq),
+        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM dq
+        |  WHERE doc_id % ${DedupQueries.DecontamBenchMod} = 0),
+        |hv AS (SELECT d.doc_id, count(*) AS hits
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM dq
+        |    WHERE doc_id % ${DedupQueries.DecontamBenchMod} <> 0) d
+        |  JOIN bg ON bg.g = d.g GROUP BY d.doc_id)
+        |SELECT dq.doc_id, CAST(len(dq.sh) AS BIGINT) AS n_shingles,
+        |  CAST(CASE WHEN dq.doc_id % ${DedupQueries.DecontamBenchMod} = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark,
+        |  CAST(coalesce(hv.hits, 0) AS BIGINT) AS hits,
+        |  CAST(CASE WHEN dq.doc_id % ${DedupQueries.DecontamBenchMod} <> 0
+        |    AND coalesce(hv.hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM dq LEFT JOIN hv ON hv.doc_id = dq.doc_id
+        |ORDER BY dq.doc_id""".stripMargin,
     "q24_embed_neardup" ->
       """WITH p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_sum(list_transform(range(1,65),

@@ -365,6 +365,110 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark slice for [[decontaminate]]: doc_id ≡ 0 (mod 20) — a
+    * deterministic in-corpus stand-in for the eval-benchmark table a
+    * production decontamination run joins against (external benchmark
+    * data is out of bounds in this sandbox; swapping the slice for a real
+    * benchmark table changes one input, not the plan).
+    */
+  val DecontamBenchMod = 20L
+
+  /** Collision window: 13 tokens — the GPT-3/PaLM decontamination
+    * standard (Brown et al. 2020 appendix C use 13-gram overlap).
+    */
+  val DecontamN = 13
+
+  /** Benchmark decontamination (the GPT-3 appendix-C operator): flag
+    * every training document that shares ANY [[DecontamN]]-token shingle
+    * with a benchmark document. Output per doc: shingle count, benchmark
+    * membership, number of distinct colliding shingles, and the
+    * contaminated flag (non-benchmark doc with ≥ 1 collision).
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (eval suites are ~10⁵ docs vs 10¹⁰), so the collision join is a
+    * broadcast semi-shape equi-join on the shingle string (AQE picks
+    * broadcast; at worst it's a shuffle join keyed by shingle) and the
+    * flag is a partial-aggregable count — no pair generation, no window.
+    * Docs shorter than [[DecontamN]] tokens have no shingle and are clean
+    * by definition (same as the reference implementations).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), DecontamN).as("sh"))
+    val isBench = col("doc_id") % DecontamBenchMod === 0
+    val benchGrams = docs.filter(isBench)
+      .select(explode(col("sh")).as("g")).distinct()
+    val hits = docs.filter(!isBench)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(benchGrams, "g") // shingles are per-doc distinct → count = hits
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    docs
+      .select(col("doc_id"),
+        coalesce(size(col("sh")), lit(0)).cast("long").as("n_shingles"),
+        isBench.cast("long").as("is_benchmark"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("contaminated",
+        (col("is_benchmark") === 0 && col("hits") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Iteration cap for [[dupClusters]] — min-label propagation needs at
+    * most graph-diameter rounds, and near-dup components are band/bucket
+    * near-cliques (diameter ≤ ~3); the cap is a defensive bound, and
+    * convergence is asserted, not assumed.
+    */
+  val MaxCcIters = 15
+
+  /** Duplicate-cluster assignment: connected components over the
+    * [[ngramJaccard]] near-dup pair graph, every document labeled with
+    * the minimum doc_id of its component (the canonical representative a
+    * dedup pass keeps — "keep one per duplicate CLUSTER" rather than
+    * q04/q20's per-key keep-first). Deterministic: min-label propagation
+    * is order-independent and the edge set is the hash-green q21 output.
+    *
+    * Scale shape: the classic iterative-Pregel discipline — each round is
+    * one equi-join (labels onto the symmetrized edge list) + one
+    * partial-aggregable min + one join back; the driver sees ONE count
+    * per round (the convergence check, the same bounded-metadata class as
+    * the crawl loop's wave counts — never data). Rounds ≤ component
+    * diameter; for the 10^10-doc regime where a boilerplate component's
+    * diameter could bite, the large-star/small-star variant (Kiveris et
+    * al. 2014) bounds rounds at O(log n) with the same per-round plan
+    * shape. Per-round lineage is truncated through `localCheckpoint`
+    * (the crawl loop's discipline) so the plan does not grow with
+    * iterations.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // edge derivation runs once, not once per round
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < MaxCcIters) {
+      val nbrMin = sym.join(labels, sym("doc_b") === labels("doc_id"))
+        .groupBy(sym("doc_a").as("doc_id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"),
+        (col("doc_id") === col("lbl")).cast("long").as("is_representative"))
+      .orderBy("doc_id")
+  }
+
   /** Dump the Spark-computed hash-kernel outputs (minhash band hashes,
     * simhashes, xxhash64 content hashes) as parquet so the q19/q22/q23
     * DuckDB oracles can independently recompute everything DOWNSTREAM of

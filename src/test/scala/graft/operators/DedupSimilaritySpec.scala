@@ -525,6 +525,93 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kO * 100 < nO * 15, s"off-target keep rate too high: $kO/$nO")
   }
 
+  test("decontamination: a 13-token overlap with a benchmark doc flags " +
+    "the training doc; a 12-token overlap does NOT; benchmark docs are " +
+    "never flagged; counts match an exact recompute") {
+    import spark.implicits._
+    val t30 = (1 to 30).map(i => s"t$i")
+    val docs = Seq(
+      (0L, t30.mkString(" ")), // benchmark (0 % 20 == 0)
+      (1L, ((1 to 13).map(i => s"t$i") ++ (1 to 10).map(i => s"x$i"))
+        .mkString(" ")), // 13 shared tokens → 1 colliding shingle
+      (2L, (1 to 20).map(i => s"y$i").mkString(" ")), // disjoint
+      (3L, ((1 to 12).map(i => s"t$i") ++ (1 to 10).map(i => s"z$i"))
+        .mkString(" "))) // only 12 shared tokens → clean (boundary)
+    val d = java.nio.file.Files.createTempDirectory("decon-fix").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = DedupQueries.decontaminate(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // exact recompute of the distinct 13-shingle sets
+    def sh(t: String): Set[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.sliding(13)
+        .filter(_.size == 13).map(_.mkString(" ")).toSet
+    val bench = sh(docs.head._2)
+    docs.foreach { case (id, t) =>
+      val isB = if (id % DedupQueries.DecontamBenchMod == 0) 1L else 0L
+      val hits = if (isB == 1) 0L else (sh(t) & bench).size.toLong
+      val cont = if (isB == 0 && hits > 0) 1L else 0L
+      assert(got(id) == ((sh(t).size.toLong, isB, hits, cont)), s"doc $id")
+    }
+    assert(got(1L)._4 == 1L && got(3L)._4 == 0L && got(0L)._4 == 0L)
+  }
+
+  test("dup clusters: transitive chain merges into ONE component labeled " +
+    "by its min doc_id even though the endpoints share no pair edge; " +
+    "disconnected docs stay singletons") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val a = toks("t", 30)
+    val c = toks("v", 15) ++ toks("w", 15)
+    val b = a.take(15) ++ c.take(15) // overlaps both a and c
+    val docs = Seq(
+      (10L, a.mkString(" ")), (11L, b.mkString(" ")),
+      (12L, c.mkString(" ")), (13L, toks("q", 20).mkString(" ")))
+    val d = java.nio.file.Files.createTempDirectory("cc-fix").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    // the chain is real: a-b and b-c are q21 edges, a-c is NOT
+    val edges = DedupQueries.ngramJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((10L, 11L)) && edges.contains((11L, 12L)))
+    assert(!edges.contains((10L, 12L)))
+    val got = DedupQueries.dupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(10L) == ((10L, 3L, 1L)))
+    assert(got(11L) == ((10L, 3L, 0L)))
+    assert(got(12L) == ((10L, 3L, 0L))) // transitivity: 2 hops from 10
+    assert(got(13L) == ((13L, 1L, 1L)))
+  }
+
+  test("dup clusters on the real table match a driver-side union-find " +
+    "over the q21 edge set exactly") {
+    val real = "/root/testdata/sf0.001"
+    val edges = DedupQueries.ngramJaccard(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val got = DedupQueries.dupClusters(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 500)
+    val compOf = got.map(r => r._1 -> r._2).toMap
+    got.foreach { case (id, cluster, _) =>
+      assert(cluster == find(id), s"doc $id cluster mismatch")
+    }
+    // sizes are consistent with the label assignment
+    val sizeByCluster = got.groupBy(_._2).view.mapValues(_.length.toLong)
+    got.foreach { case (id, cluster, sz) =>
+      assert(sz == sizeByCluster(cluster), s"doc $id size mismatch")
+    }
+    assert(compOf.values.toSet.size < 500) // real dups exist → real merges
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()
