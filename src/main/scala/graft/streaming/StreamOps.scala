@@ -55,6 +55,29 @@ object StreamOps {
       .filter(col("keep") === 1)
       .select("doc_id", "n_tokens")
 
+  /** Streaming contamination alerts: the q59 decontamination rule over a
+    * live document feed — each incoming doc's 13-token shingles are
+    * joined STREAM-STATIC against the benchmark shingle table (the static
+    * side is a plain batch DataFrame; Spark broadcasts it per micro-batch,
+    * no state store for the join itself), and each contaminated doc emits
+    * ONE alert via the bounded watermarked dedup. Reuses the exact q59
+    * shingle kernel and window ([[graft.operators.DedupQueries.DecontamN]])
+    * so the streaming verdict set is the batch operator's contaminated
+    * set by construction — the spec proves it on the same doc log.
+    * `benchGrams` must carry a `g` string column (one row per distinct
+    * benchmark shingle — eval-suite sized, broadcastable).
+    */
+  def streamingContaminationAlerts(docs: DataFrame, benchGrams: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("event_ts", watermark)
+      .select(col("doc_id"), col("event_ts"),
+        explode(graft.operators.DedupQueries.shingles(col("text"),
+          graft.operators.DedupQueries.DecontamN)).as("g"))
+      .join(benchGrams, "g")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id", "event_ts")
+
   /** Per-host running fetch budget over the stream — an update-mode
     * aggregation keyed by host, the streaming analogue of the politeness
     * scheduler's per-host accounting (A5).

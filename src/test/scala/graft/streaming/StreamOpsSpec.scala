@@ -201,6 +201,51 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  final case class DocEvent(doc_id: Long, text: String, event_ts: Timestamp)
+
+  test("streaming contamination alerts ≡ the batch q59 contaminated set " +
+    "on the same doc log, one alert per doc across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val t30 = (1 to 30).map(i => s"t$i")
+    val corpus = Seq(
+      (0L, t30.mkString(" ")), // benchmark doc (0 % 20 == 0)
+      (1L, ((1 to 13).map(i => s"t$i") ++ (1 to 10).map(i => s"x$i"))
+        .mkString(" ")), // 13-token overlap → contaminated
+      (2L, (1 to 20).map(i => s"y$i").mkString(" ")), // clean
+      (3L, ((1 to 12).map(i => s"t$i") ++ (1 to 10).map(i => s"z$i"))
+        .mkString(" ")), // 12-token overlap → clean
+      (4L, t30.take(20).mkString(" "))) // pure benchmark substring → hit
+    val d = java.nio.file.Files.createTempDirectory("sdecon-fix").toString
+    corpus.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val batch = graft.operators.DedupQueries.decontaminate(spark, d)
+      .filter(col("contaminated") === 1).collect().map(_.getLong(0)).toSet
+    assert(batch == Set(1L, 4L)) // the planted verdicts
+
+    val benchGrams = corpus.filter(_._1 % 20 == 0).toDF("doc_id", "text")
+      .select(explode(graft.operators.DedupQueries.shingles(col("text"),
+        graft.operators.DedupQueries.DecontamN)).as("g")).distinct()
+    val input = MemoryStream[DocEvent]
+    val q = StreamOps.streamingContaminationAlerts(input.toDF(), benchGrams)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      val feed = corpus.filter(_._1 % 20 != 0) // the training feed
+        .map { case (id, t) => DocEvent(id, t, ts(id.toInt)) }
+      input.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(2): _*)
+      // re-send doc 1 within the watermark: still ONE alert
+      input.addData(DocEvent(1L, feed.head.text, ts(2)))
+      q.processAllAvailable()
+      val alerts = spark.table("decon_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(alerts == batch)
+      assert(spark.table("decon_out").count() == batch.size)
+    } finally q.stop()
+  }
+
   test("host budget accounting tracks per-host per-window fetch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
