@@ -55,6 +55,7 @@ object SparkEntry {
     "q22_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q23_simhash_pairs" -> (DedupQueries.simhashPairs _),
     "q31_dup_span_coverage" -> (DedupQueries.dupSpanCoverage _),
+    "q61_dup_span_scrub" -> (DedupQueries.dupSpanScrub _),
     "q53_corpus_funnel" -> (TextQueries.corpusFunnel _),
     "q54_pii_scrub" -> (TextQueries.piiScrub _),
     "q56_domain_mix" -> (TextQueries.domainMix _),
@@ -835,6 +836,32 @@ object SparkEntry {
         |      END AS mean_e4
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q61: the scrub re-derived — DuckDB recomputes the covered position
+    // set from the SAME spanCtes fragment as q31 (no drift), anti-joins
+    // the original-case token sequence, and reassembles the survivors
+    // with ORDER BY position.
+    "q61_dup_span_scrub" ->
+      s"""WITH $spanCtes,
+        |tq AS (SELECT doc_id,
+        |    CAST(generate_subscripts(tks, 1) - 1 AS BIGINT) AS p,
+        |    unnest(tks) AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+        |      AS tks
+        |    FROM documents)),
+        |cp AS (SELECT DISTINCT t.doc_id, t.p + u.o AS q
+        |  FROM gr8 t JOIN dupg8 d ON d.g = t.g,
+        |    generate_series(0, 7) u(o)),
+        |kq AS (SELECT tq.doc_id, tq.p, tq.tok FROM tq
+        |  LEFT JOIN cp ON cp.doc_id = tq.doc_id AND cp.q = tq.p
+        |  WHERE cp.doc_id IS NULL),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |    string_agg(tok, ' ' ORDER BY p) AS scrubbed_text
+        |  FROM kq GROUP BY doc_id)
+        |SELECT w8.doc_id, w8.n_tokens,
+        |  coalesce(ka.kept_tokens, 0) AS kept_tokens,
+        |  coalesce(ka.scrubbed_text, '') AS scrubbed_text
+        |FROM w8 LEFT JOIN ka USING (doc_id)
+        |ORDER BY w8.doc_id""".stripMargin,
     // q58: DuckDB retrains BOTH count models (source = all docs, target =
     // the designated lang slice) from the raw table and rescores every
     // occurrence with the same exact-BIGINT-products-then-one-ln

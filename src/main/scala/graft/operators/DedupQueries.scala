@@ -180,10 +180,13 @@ object DedupQueries {
   def dupSpanCoverage(s: SparkSession, dir: String): DataFrame =
     spanCoverage(t(s, dir, "documents")).orderBy("doc_id")
 
-  /** [[dupSpanCoverage]] over an explicit `(doc_id, text)` frame,
-    * unsorted — shared with [[TextQueries.corpusFunnel]].
+  /** Distinct covered token positions per doc — the (doc_id, q) set under
+    * the q31 rule (some [[SpanN]]-window over position q occurs in ≥ 2
+    * distinct docs). ONE definition shared by the q31 coverage counts and
+    * the q61 scrub, so the two can never disagree about what "covered"
+    * means.
     */
-  private[operators] def spanCoverage(docs: DataFrame): DataFrame = {
+  private def coveredPositions(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), posexplode(wordGrams(col("text"), SpanN))
         .as(Seq("p", "g")))
@@ -193,11 +196,18 @@ object DedupQueries {
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("g")
-    val covered = grams
+    grams
       .join(dupGrams, Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (SpanN - 1))).as("q"))
       .distinct()
+  }
+
+  /** [[dupSpanCoverage]] over an explicit `(doc_id, text)` frame,
+    * unsorted — shared with [[TextQueries.corpusFunnel]].
+    */
+  private[operators] def spanCoverage(docs: DataFrame): DataFrame = {
+    val covered = coveredPositions(docs)
       .groupBy("doc_id").agg(count(lit(1)).as("covered"))
     docs
       .select(col("doc_id"),
@@ -207,6 +217,49 @@ object DedupQueries {
       .withColumn("coverage_pct",
         floor(col("covered") * 100 / col("n_tokens")).cast("long"))
       .select("doc_id", "n_tokens", "covered", "coverage_pct")
+  }
+
+  /** Duplicated-span SCRUB — the transform twin of [[dupSpanCoverage]]:
+    * where q31 measures cross-document duplicated spans, q61 REMOVES them
+    * (Lee et al. 2022 drop the duplicated substring, not the document).
+    * Every token at a covered position is deleted and the survivors are
+    * rejoined with single spaces — so the output text is token-normalized
+    * (runs of whitespace collapse), which is the standard contract of a
+    * token-level scrubber. Case is preserved: dup detection runs on the
+    * lowercased gram stream (the q31 rule, via the shared
+    * [[coveredPositions]]) while positions index the original token
+    * sequence — split boundaries are identical, so the deletion is exact.
+    *
+    * Scale shape: everything up to the anti-join is the q31 plan (narrow
+    * gram map, partial-aggregated dup flag, semi-join, distinct); the
+    * anti-join is an equi-join on (doc_id, position); the only per-doc
+    * array materialized is the SURVIVING token list of that one document
+    * (bounded by doc length, the same bound the raw `text` column already
+    * imposes on a row). The final ordered reassembly
+    * (sort_array + transform over the per-doc struct array) is
+    * presentation-layer work on one doc's tokens, not a corpus-wide HOF
+    * hot path.
+    */
+  def dupSpanScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "tok")))
+    val cov = coveredPositions(docs)
+      .withColumnRenamed("q", "p")
+    val kept = toks.join(cov, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_tokens"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("scrubbed_text"))
+    docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+      .orderBy("doc_id")
   }
 
   val MinhashK = 32 // signature length

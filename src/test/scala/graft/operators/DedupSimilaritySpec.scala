@@ -612,6 +612,29 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compOf.values.toSet.size < 500) // real dups exist → real merges
   }
 
+  test("dup-span scrub: exact dups scrub to empty, the near-dup scrubs " +
+    "to exactly its changed token, short docs pass through token-" +
+    "normalized; kept ≡ n_tokens − q31 covered on every doc") {
+    val got = DedupQueries.dupSpanScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // docs 1,2: 40-token exact dups → every window duplicated → empty
+    assert(got(1L)._2 == 0L && got(1L)._3 == "")
+    assert(got(2L)._2 == 0L && got(2L)._3 == "")
+    // doc 3: near dup — only position 19 (the CHANGED token) escapes
+    // every duplicated window
+    assert(got(3L) == ((40L, 1L, "CHANGED")))
+    // docs 4,5: under 8 tokens of overlap → untouched (token-normalized)
+    assert(got(4L)._3 == "completely different tiny text")
+    assert(got(5L)._3 == "another unrelated document body here entirely")
+    // structural tie to q31: kept = n_tokens − covered, per doc
+    val cov = DedupQueries.dupSpanCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (n, kept, _)) =>
+      assert(kept == n - cov(id), s"doc $id kept/covered mismatch")
+    }
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()
