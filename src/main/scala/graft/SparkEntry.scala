@@ -61,6 +61,7 @@ object SparkEntry {
     "q56_domain_mix" -> (TextQueries.domainMix _),
     "q57_perplexity" -> (TextQueries.perplexityFilter _),
     "q58_importance_resample" -> (TextQueries.importanceResample _),
+    "q62_leakage_safe_split" -> (TextQueries.leakageSafeSplit _),
     "q59_decontaminate" -> (DedupQueries.decontaminate _),
     "q60_dup_clusters" -> (DedupQueries.dupClusters _),
     // similarity search over embeddings
@@ -904,6 +905,19 @@ object SparkEntry {
         |      END AS mean_e4
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q62: the leakage-safe split re-derived — q20's min-doc_id-per-text
+    // representative, the q56 residue rule over it, the same boundaries.
+    "q62_leakage_safe_split" ->
+      s"""WITH reps AS (
+        |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text)
+        |SELECT d.doc_id, r.rep,
+        |  CASE WHEN (r.rep * 2654435761) % 1000 <
+        |      ${TextQueries.SplitTrainPermille} THEN 'train'
+        |    WHEN (r.rep * 2654435761) % 1000 <
+        |      ${TextQueries.SplitValPermille} THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents d JOIN reps r ON r.text = d.text
+        |ORDER BY d.doc_id""".stripMargin,
     // q52: DuckDB recomputes the SemDeDup pipeline independently — it
     // re-RUNS the same deterministic Lloyd training as q51's oracle
     // ([[ivfLloydCtes]]) for the cell assignment, then the within-cell

@@ -391,6 +391,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-mille boundaries for [[leakageSafeSplit]]: train < 800, val <
+    * 900, test otherwise (80/10/10).
+    */
+  val SplitTrainPermille = 800L
+  val SplitValPermille = 900L
+
+  /** Leakage-safe train/val/test split: the split key is the document's
+    * exact-dedup REPRESENTATIVE (min doc_id over identical text — the
+    * q20 rule), not the document id, so byte-identical duplicates always
+    * land in the same split — the eval-leakage failure mode a naive
+    * id-residue split has (one copy in train, its twin in test) is
+    * impossible by construction. The residue rule is the q56 coprime
+    * multiplier over the representative id; deterministic, no RNG state,
+    * and a new corpus snapshot re-derives the identical split for
+    * unchanged documents.
+    *
+    * Scale shape: one hash-aggregate over the content key (exactly the
+    * q20 plan — at 10^10 docs the groupBy key becomes xxhash64(text),
+    * per the q20 scaladoc) + a map. No joins beyond the representative
+    * attach, no window, no sampling state.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val reps = docs.groupBy("text").agg(min("doc_id").as("rep"))
+    docs.join(reps, "text")
+      .withColumn("permille", pmod(col("rep") * 2654435761L, lit(1000L)))
+      .select(col("doc_id"), col("rep"),
+        when(col("permille") < SplitTrainPermille, "train")
+          .when(col("permille") < SplitValPermille, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: deterministic 64-bit content hash (xxhash64 over
     * the text — Spark-built-in, codegen'd) + a shape fingerprint (char
     * class histogram) for cheap near-dup pre-clustering at 100 TB scale.

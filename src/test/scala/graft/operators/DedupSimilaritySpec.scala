@@ -635,6 +635,47 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("leakage-safe split: byte-identical duplicates always land in the " +
+    "same split via their dedup representative; residues are the q56 " +
+    "rule over the representative id") {
+    import spark.implicits._
+    // craft texts whose REPRESENTATIVE ids hit each residue band, with
+    // a duplicate whose own id would land elsewhere
+    val docs = Seq(
+      (3L, "text a"), (903L, "text a"), // rep 3 → residue 91 → train
+      (2L, "text b"), (702L, "text b"), // rep 2 → residue 522 → train
+      (11L, "text c"), // rep 11 → residue 371 → train
+      (19L, "text d"), // rep 19 → residue 459 → train
+      (6L, "text e"), // rep 6 → residue 566 → train
+      (13L, "text f"), // rep 13 → residue 893 → val
+      (10L, "text g")) // rep 10 → residue 610 → train
+    val d = java.nio.file.Files.createTempDirectory("split-fix").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextQueries.leakageSafeSplit(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // independent recompute of the rule
+    docs.foreach { case (id, t) =>
+      val rep = docs.filter(_._2 == t).map(_._1).min
+      val res = rep * 2654435761L % 1000L
+      val split = if (res < TextQueries.SplitTrainPermille) "train"
+        else if (res < TextQueries.SplitValPermille) "val" else "test"
+      assert(got(id) == ((rep, split)), s"doc $id")
+    }
+    // the leakage guarantee: dup pairs share rep AND split
+    assert(got(3L) == got(903L) && got(2L) == got(702L))
+  }
+
+  test("leakage-safe split on the real table: every doc assigned, all " +
+    "three splits populated, proportions near 80/10/10") {
+    val rows = TextQueries.leakageSafeSplit(spark, "/root/testdata/sf0.001")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == 500L)
+    assert(rows("train") > 350L && rows("train") < 450L)
+    assert(rows("val") > 20L && rows("val") < 80L)
+    assert(rows("test") > 20L && rows("test") < 80L)
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()
