@@ -783,14 +783,16 @@ object SparkEntry {
         |FROM cand c, q
         |ORDER BY cos_e4 DESC, c.vec_id LIMIT 10""".stripMargin,
     // q56: the deterministic sampler re-derived end-to-end — suffix-based
-    // target rates and the coprime-multiplier residue rule.
+    // target rates and the (overflow-hardened) coprime residue rule.
     "q56_domain_mix" ->
-      """SELECT source, count(*) AS total,
-        |  CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000 <
-        |    1000 - CAST(regexp_extract(source, '\d+') AS BIGINT) * 45
+      s"""SELECT source, count(*) AS total,
+        |  CAST(sum(CASE WHEN
+        |    ((doc_id % ${TextQueries.ResidueReduceMod}) * 2654435761)
+        |      % 1000 <
+        |    1000 - CAST(regexp_extract(source, '\\d+') AS BIGINT) * 45
         |    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
-        |  CAST(max(1000 - CAST(regexp_extract(source, '\d+') AS BIGINT) * 45)
-        |    AS BIGINT) AS target_permille
+        |  CAST(max(1000 - CAST(regexp_extract(source, '\\d+') AS BIGINT)
+        |    * 45) AS BIGINT) AS target_permille
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q57: DuckDB retrains the bigram LM from the raw table (integer
     // counts), rescoring every bigram occurrence with the same
@@ -911,9 +913,11 @@ object SparkEntry {
       s"""WITH reps AS (
         |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text)
         |SELECT d.doc_id, r.rep,
-        |  CASE WHEN (r.rep * 2654435761) % 1000 <
+        |  CASE WHEN ((r.rep % ${TextQueries.ResidueReduceMod})
+        |      * 2654435761) % 1000 <
         |      ${TextQueries.SplitTrainPermille} THEN 'train'
-        |    WHEN (r.rep * 2654435761) % 1000 <
+        |    WHEN ((r.rep % ${TextQueries.ResidueReduceMod})
+        |      * 2654435761) % 1000 <
         |      ${TextQueries.SplitValPermille} THEN 'val'
         |    ELSE 'test' END AS split
         |FROM documents d JOIN reps r ON r.text = d.text

@@ -109,10 +109,15 @@ object Codebooks {
   private[operators] def trainIvf(emb: DataFrame): Array[Array[Float]] = {
     var cents = Array.tabulate(IvfCells)(ivfInitCentroid)
     for (_ <- 0 until IvfIters) {
+      // ragged/null-element vectors don't vote: ivfCell itself never
+      // returns null (an all-null cosine struct array still sorts and
+      // yields a j), so the guard must be the kernel's own validity
+      // predicate — cosE4(v,v) is null exactly for ragged/null-element v
       val lanes = emb
+        .filter(SimilarityQueries.cosE4(col("embedding"), col("embedding"))
+          .isNotNull)
         .select(SimilarityQueries.ivfCell(col("embedding"), cents).as("cell"),
           posexplode(col("embedding")).as(Seq("i", "x")))
-        .filter(col("cell").isNotNull) // ragged/null vectors don't vote
         .groupBy(col("cell"), col("i"))
         .agg(sum(floor(col("x").cast("double") * LaneScale).cast("long"))
           .as("s"), count(lit(1)).as("n"))

@@ -98,7 +98,15 @@ object DedupQueries {
     * pipeline materializes the capped inverted index (`groups`) as a
     * table between phases, which removes the clones outright.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The q21 pair set WITHOUT the presentation sort — [[dupClusters]]
+    * consumes this (edge order is irrelevant to label propagation, and a
+    * global corpus-pair sort-shuffle before an eager localCheckpoint
+    * would be pure waste).
+    */
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -136,7 +144,6 @@ object DedupQueries {
           .cast("long"))
       .filter(col("jaccard_pct") >= 15)
       .select("doc_a", "doc_b", "jaccard_pct")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Ordered, non-distinct word n-grams (positional — element i is the
@@ -493,7 +500,7 @@ object DedupQueries {
     * iterations.
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val sym = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // edge derivation runs once, not once per round

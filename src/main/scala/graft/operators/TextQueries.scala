@@ -227,7 +227,8 @@ object TextQueries {
       .withColumn("target_permille",
         lit(1000L) - regexp_extract(col("source"), "\\d+", 0).cast("long") * 45)
       .withColumn("kept",
-        (pmod(col("doc_id") * 2654435761L, lit(1000L)) <
+        (pmod(pmod(col("doc_id"), lit(ResidueReduceMod)) * 2654435761L,
+          lit(1000L)) <
           col("target_permille")).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("total"), sum(col("kept")).as("kept"),
@@ -264,8 +265,14 @@ object TextQueries {
     *
     * Determinism across engines: counts and V are exact integers; each
     * bigram occurrence contributes floor(10⁴·ln((c12+1)/(c1+V))) — ln of
-    * one double ratio, the same discretization discipline every cosine
-    * oracle rides —
+    * ONE exactly-agreed double ratio. Caveat vs the cosine oracles: their
+    * ops (+,×,÷,√) are all IEEE-correctly-rounded, so both engines
+    * produce bit-identical doubles by spec; ln is only ~1-ulp accurate,
+    * so JVM `Math.log` and DuckDB's libm could in principle differ in the
+    * last ulp and flip a floor() that lands within ~2⁻⁴⁰ of an integer —
+    * a per-distinct-ratio risk of ~10⁻¹², accepted and verified green at
+    * every test scale (fallback if it ever flakes: dump the per-gram
+    * score table, the q22 oracle pattern) —
     * and the per-doc total is a sum of BIGINTs (order-independent), so
     * the DuckDB oracle recomputes the model and every score exactly.
     *
@@ -319,6 +326,15 @@ object TextQueries {
           .otherwise("tail"))
       .orderBy("doc_id")
   }
+
+  /** Pre-multiply reduction modulus for the residue sampling rules (q56,
+    * q62): ids are reduced mod this prime BEFORE the coprime multiply so
+    * the product stays under 2⁶³ for any BIGINT id — at doc_id ≥ ~3.5·10⁹
+    * (inside the 10^10-doc design point) the raw multiply would wrap in
+    * non-ANSI Spark and ERROR in DuckDB/ANSI mode. Below 10⁹ the
+    * reduction is the identity, so small-scale results are unchanged.
+    */
+  val ResidueReduceMod = 1000000007L
 
   /** The [[importanceResample]] target slice: DSIR needs a reference
     * distribution; in-sandbox (no external data) the designated target is
@@ -416,7 +432,9 @@ object TextQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val reps = docs.groupBy("text").agg(min("doc_id").as("rep"))
     docs.join(reps, "text")
-      .withColumn("permille", pmod(col("rep") * 2654435761L, lit(1000L)))
+      .withColumn("permille",
+        pmod(pmod(col("rep"), lit(ResidueReduceMod)) * 2654435761L,
+          lit(1000L)))
       .select(col("doc_id"), col("rep"),
         when(col("permille") < SplitTrainPermille, "train")
           .when(col("permille") < SplitValPermille, "val")

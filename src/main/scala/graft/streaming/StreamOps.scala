@@ -65,11 +65,16 @@ object StreamOps {
     * so the streaming verdict set is the batch operator's contaminated
     * set by construction — the spec proves it on the same doc log.
     * `benchGrams` must carry a `g` string column (one row per distinct
-    * benchmark shingle — eval-suite sized, broadcastable).
+    * benchmark shingle — eval-suite sized, broadcastable). Benchmark-
+    * slice docs arriving on the stream are excluded HERE (the q59 rule:
+    * a benchmark doc is never "contaminated" by itself), so the operator
+    * enforces its own contract rather than assuming a pre-filtered feed.
     */
   def streamingContaminationAlerts(docs: DataFrame, benchGrams: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     docs
+      .filter(col("doc_id") %
+        graft.operators.DedupQueries.DecontamBenchMod =!= 0)
       .withWatermark("event_ts", watermark)
       .select(col("doc_id"), col("event_ts"),
         explode(graft.operators.DedupQueries.shingles(col("text"),

@@ -63,7 +63,9 @@ object Probe {
         val name = args.lift(1).getOrElse("q21_ngram_jaccard")
         val dir = args.lift(2).getOrElse("/root/testdata/sf0.01")
         val df = graft.SparkEntry.queries(name)(spark, dir)
-        df.count() // materialize so AQE reports the FINAL plan
+        // execute df's OWN QueryExecution (df.count() would build and run
+        // a separate one, leaving this plan un-finalized under AQE)
+        df.collect()
         println(df.queryExecution.executedPlan.toString)
       case other => sys.error(s"unknown probe: $other")
     }

@@ -313,7 +313,9 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val t = 1000L - src.drop(3).toLong * 45
       src -> ((xs.length.toLong,
         xs.count { case (id, _) =>
-          java.lang.Math.floorMod(id * 2654435761L, 1000L) < t }.toLong, t))
+          java.lang.Math.floorMod(
+            java.lang.Math.floorMod(id, TextQueries.ResidueReduceMod)
+              * 2654435761L, 1000L) < t }.toLong, t))
     }
     val got = TextQueries.domainMix(spark, real).collect()
       .map(r => r.getString(0) ->
@@ -656,7 +658,7 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // independent recompute of the rule
     docs.foreach { case (id, t) =>
       val rep = docs.filter(_._2 == t).map(_._1).min
-      val res = rep * 2654435761L % 1000L
+      val res = rep % TextQueries.ResidueReduceMod * 2654435761L % 1000L
       val split = if (res < TextQueries.SplitTrainPermille) "train"
         else if (res < TextQueries.SplitValPermille) "val" else "test"
       assert(got(id) == ((rep, split)), s"doc $id")

@@ -231,13 +231,16 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("decon_out")
       .outputMode("append").start()
     try {
-      val feed = corpus.filter(_._1 % 20 != 0) // the training feed
+      // feed the WHOLE corpus, benchmark doc included — the operator
+      // itself must exclude the benchmark slice (a benchmark doc is not
+      // contaminated by itself), not assume a pre-filtered stream
+      val feed = corpus
         .map { case (id, t) => DocEvent(id, t, ts(id.toInt)) }
       input.addData(feed.take(2): _*)
       q.processAllAvailable()
       input.addData(feed.drop(2): _*)
       // re-send doc 1 within the watermark: still ONE alert
-      input.addData(DocEvent(1L, feed.head.text, ts(2)))
+      input.addData(DocEvent(1L, corpus(1)._2, ts(2)))
       q.processAllAvailable()
       val alerts = spark.table("decon_out").collect()
         .map(_.getLong(0)).toSet
