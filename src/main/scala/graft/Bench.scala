@@ -89,6 +89,8 @@ object Bench {
     "q56_domain_mix" -> 2.0, "q57_perplexity" -> 3.0,
     "q58_importance_resample" -> 3.0, "q59_decontaminate" -> 3.0,
     "q61_dup_span_scrub" -> 3.0, "q62_leakage_safe_split" -> 2.0,
+    // q63 composes six stage DAGs (gopher/dedup/span/ppl/dsir/decon)
+    "q63_curation_pipeline" -> 5.0,
     // q60 re-derives the q21 edges then runs 3-4 propagation rounds
     "q60_dup_clusters" -> 10.0,
     // r4: 12/32 trained probe cells rerank ~37% of the corpus (vs 4/16

@@ -57,6 +57,7 @@ object SparkEntry {
     "q31_dup_span_coverage" -> (DedupQueries.dupSpanCoverage _),
     "q61_dup_span_scrub" -> (DedupQueries.dupSpanScrub _),
     "q53_corpus_funnel" -> (TextQueries.corpusFunnel _),
+    "q63_curation_pipeline" -> (TextQueries.curationPipeline _),
     "q54_pii_scrub" -> (TextQueries.piiScrub _),
     "q56_domain_mix" -> (TextQueries.domainMix _),
     "q57_perplexity" -> (TextQueries.perplexityFilter _),
@@ -344,6 +345,89 @@ object SparkEntry {
       |  GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)"""
       .stripMargin
+
+  /** Shared q57 CTE block (tokens → bigrams → smoothed LM counts →
+    * per-doc discretized log-prob totals `pd`) — reused by the q63
+    * pipeline oracle so the perplexity stage has one definition.
+    */
+  private val pplCtes: String =
+    s"""wp AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+      |    AS ws
+      |  FROM documents),
+      |gp AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+      |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE []::VARCHAR[] END) AS g
+      |  FROM wp),
+      |m12 AS (SELECT g, count(*) AS c12 FROM gp GROUP BY g),
+      |m1 AS (
+      |  SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+      |  FROM m12 GROUP BY 1),
+      |vv AS (
+      |  SELECT count(DISTINCT split_part(g, ' ', 2)) AS vsz FROM m12),
+      |mm AS (
+      |  SELECT m12.g, m12.c12, m1.c1
+      |  FROM m12 JOIN m1 ON m1.w1 = split_part(m12.g, ' ', 1)),
+      |pd AS (
+      |  SELECT gp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(floor(ln((mm.c12 + 1)::DOUBLE /
+      |      (mm.c1 + vv.vsz)::DOUBLE) * 10000)
+      |      AS BIGINT)) AS BIGINT) AS logp_e4
+      |  FROM gp JOIN mm ON mm.g = gp.g, vv GROUP BY gp.doc_id)"""
+      .stripMargin
+
+  /** Shared q58 CTE block (source+target LM counts → per-doc discretized
+    * log-weight totals `pdw`) — reused by the q63 pipeline oracle.
+    */
+  private val dsirCtes: String =
+    s"""wd AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      |  FROM documents),
+      |gd AS (
+      |  SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
+      |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE []::VARCHAR[] END) AS g
+      |  FROM wd),
+      |sc AS (SELECT g, count(*) AS cs FROM gd GROUP BY g),
+      |tcd AS (SELECT g, count(*) AS ct FROM gd
+      |  WHERE lang = '${TextQueries.DsirTargetLang}' GROUP BY g),
+      |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
+      |  CAST(count(*) AS BIGINT) AS v FROM sc),
+      |ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tcd),
+      |md AS (
+      |  SELECT sc.g, sc.cs, coalesce(tcd.ct, 0) AS ct
+      |  FROM sc LEFT JOIN tcd ON tcd.g = sc.g),
+      |pdw AS (
+      |  SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(floor(ln(
+      |      ((md.ct + 1) * (tot.ns + tot.v))::DOUBLE /
+      |      ((ttot.nt + tot.v) * (md.cs + 1))::DOUBLE) * 10000)
+      |      AS BIGINT)) AS BIGINT) AS logw_e4
+      |  FROM gd JOIN md ON md.g = gd.g, tot, ttot GROUP BY gd.doc_id)"""
+      .stripMargin
+
+  /** Shared q59 CTE block (13-token shingle sets → benchmark gram set →
+    * per-doc collision counts `hv`) — reused by the q63 pipeline oracle.
+    */
+  private val deconCtes: String =
+    s"""wq AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      |  FROM documents),
+      |dq AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= ${DedupQueries.DecontamN} THEN
+      |    list_distinct(list_transform(
+      |      range(1, len(ws) - ${DedupQueries.DecontamN - 2}),
+      |      i -> ${(0 until DedupQueries.DecontamN)
+                    .map(o => s"ws[i+$o]").mkString(" || ' ' || ")}))
+      |  ELSE []::VARCHAR[] END AS sh FROM wq),
+      |bg AS (SELECT DISTINCT unnest(sh) AS g FROM dq
+      |  WHERE doc_id % ${DedupQueries.DecontamBenchMod} = 0),
+      |hv AS (SELECT d.doc_id, count(*) AS hits
+      |  FROM (SELECT doc_id, unnest(sh) AS g FROM dq
+      |    WHERE doc_id % ${DedupQueries.DecontamBenchMod} <> 0) d
+      |  JOIN bg ON bg.g = d.g GROUP BY d.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_lsh" ->
@@ -643,6 +727,59 @@ object SparkEntry {
         |    AND sk.span_keep = 1 THEN 1 ELSE 0 END AS BIGINT) AS final_keep
         |FROM gk JOIN dk USING (doc_id) JOIN sk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q63: the full curation pipeline oracle COMPOSES the same shared
+    // CTE fragments its stage oracles use (gopher/span from q53, LM
+    // totals from q57/q58, collisions from q59) — one definition per
+    // stage on both sides, so the pipeline can never drift from its
+    // standalone stages.
+    "q63_curation_pipeline" ->
+      s"""WITH $gopherCtes,
+        |$spanCtes,
+        |$pplCtes,
+        |$dsirCtes,
+        |$deconCtes,
+        |gk AS (
+        |  SELECT w.doc_id, $gopherKeepSql AS gopher_keep
+        |  FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
+        |    LEFT JOIN cov USING (doc_id)),
+        |dk AS (
+        |  SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id)
+        |      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS dedup_keep
+        |  FROM documents),
+        |sk AS (
+        |  SELECT w8.doc_id,
+        |    CAST(CASE WHEN $spanPctSql < 50 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS span_keep
+        |  FROM w8 LEFT JOIN cov8 USING (doc_id)),
+        |pk AS (
+        |  SELECT d.doc_id, CAST(CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+        |      AND CAST(floor(pd.logp_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
+        |        >= ${TextQueries.PplTailE4}
+        |    THEN 1 ELSE 0 END AS BIGINT) AS ppl_keep
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |ik AS (
+        |  SELECT d.doc_id, CAST(CASE WHEN coalesce(pdw.n_bigrams, 0) > 0
+        |      AND CAST(floor(pdw.logw_e4::DOUBLE / pdw.n_bigrams)
+        |        AS BIGINT) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS dsir_keep
+        |  FROM documents d LEFT JOIN pdw ON pdw.doc_id = d.doc_id),
+        |ck AS (
+        |  SELECT d.doc_id, CAST(CASE WHEN
+        |      d.doc_id % ${DedupQueries.DecontamBenchMod} <> 0
+        |      AND coalesce(hv.hits, 0) > 0 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS decon_keep
+        |  FROM documents d LEFT JOIN hv ON hv.doc_id = d.doc_id)
+        |SELECT gk.doc_id, gk.gopher_keep, dk.dedup_keep, sk.span_keep,
+        |  pk.ppl_keep, ik.dsir_keep, ck.decon_keep,
+        |  CAST(CASE WHEN gk.gopher_keep = 1 AND dk.dedup_keep = 1
+        |    AND sk.span_keep = 1 AND pk.ppl_keep = 1 AND ik.dsir_keep = 1
+        |    AND ck.decon_keep = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS final_keep
+        |FROM gk JOIN dk USING (doc_id) JOIN sk USING (doc_id)
+        |  JOIN pk USING (doc_id) JOIN ik USING (doc_id)
+        |  JOIN ck USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q21_ngram_jaccard" ->
       s"""WITH $jaccardCtes
         |SELECT doc_a, doc_b,
@@ -685,22 +822,7 @@ object SparkEntry {
     // shingle sets (the q21 mirror at n=13), the benchmark slice's gram
     // set, and the per-doc collision counts.
     "q59_decontaminate" ->
-      s"""WITH wq AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-        |  FROM documents),
-        |dq AS (SELECT doc_id,
-        |  CASE WHEN len(ws) >= ${DedupQueries.DecontamN} THEN
-        |    list_distinct(list_transform(
-        |      range(1, len(ws) - ${DedupQueries.DecontamN - 2}),
-        |      i -> ${(0 until DedupQueries.DecontamN)
-                      .map(o => s"ws[i+$o]").mkString(" || ' ' || ")}))
-        |  ELSE []::VARCHAR[] END AS sh FROM wq),
-        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM dq
-        |  WHERE doc_id % ${DedupQueries.DecontamBenchMod} = 0),
-        |hv AS (SELECT d.doc_id, count(*) AS hits
-        |  FROM (SELECT doc_id, unnest(sh) AS g FROM dq
-        |    WHERE doc_id % ${DedupQueries.DecontamBenchMod} <> 0) d
-        |  JOIN bg ON bg.g = d.g GROUP BY d.doc_id)
+      s"""WITH $deconCtes
         |SELECT dq.doc_id, CAST(len(dq.sh) AS BIGINT) AS n_shingles,
         |  CAST(CASE WHEN dq.doc_id % ${DedupQueries.DecontamBenchMod} = 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark,
@@ -801,30 +923,7 @@ object SparkEntry {
     // tokenization mirror (trim→lower→split \s+ → joined bigrams) is the
     // proven q30/q31 fragment.
     "q57_perplexity" ->
-      s"""WITH wp AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
-        |    AS ws
-        |  FROM documents),
-        |gp AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
-        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
-        |    ELSE []::VARCHAR[] END) AS g
-        |  FROM wp),
-        |m12 AS (SELECT g, count(*) AS c12 FROM gp GROUP BY g),
-        |m1 AS (
-        |  SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
-        |  FROM m12 GROUP BY 1),
-        |vv AS (
-        |  SELECT count(DISTINCT split_part(g, ' ', 2)) AS vsz FROM m12),
-        |mm AS (
-        |  SELECT m12.g, m12.c12, m1.c1
-        |  FROM m12 JOIN m1 ON m1.w1 = split_part(m12.g, ' ', 1)),
-        |pd AS (
-        |  SELECT gp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(CAST(floor(ln((mm.c12 + 1)::DOUBLE /
-        |      (mm.c1 + vv.vsz)::DOUBLE) * 10000)
-        |      AS BIGINT)) AS BIGINT) AS logp_e4
-        |  FROM gp JOIN mm ON mm.g = gp.g, vv GROUP BY gp.doc_id)
+      s"""WITH $pplCtes
         |SELECT doc_id, n_bigrams, logp_e4, mean_e4,
         |  CASE WHEN n_bigrams = 0 THEN 'short'
         |    WHEN mean_e4 >= ${TextQueries.PplHeadE4} THEN 'head'
@@ -870,42 +969,18 @@ object SparkEntry {
     // occurrence with the same exact-BIGINT-products-then-one-ln
     // discretization — full independent re-derivation, as q57.
     "q58_importance_resample" ->
-      s"""WITH wd AS (
-        |  SELECT doc_id, lang,
-        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-        |  FROM documents),
-        |gd AS (
-        |  SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
-        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
-        |    ELSE []::VARCHAR[] END) AS g
-        |  FROM wd),
-        |sc AS (SELECT g, count(*) AS cs FROM gd GROUP BY g),
-        |tc AS (SELECT g, count(*) AS ct FROM gd
-        |  WHERE lang = '${TextQueries.DsirTargetLang}' GROUP BY g),
-        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
-        |  CAST(count(*) AS BIGINT) AS v FROM sc),
-        |ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tc),
-        |md AS (
-        |  SELECT sc.g, sc.cs, coalesce(tc.ct, 0) AS ct
-        |  FROM sc LEFT JOIN tc ON tc.g = sc.g),
-        |pd AS (
-        |  SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(CAST(floor(ln(
-        |      ((md.ct + 1) * (tot.ns + tot.v))::DOUBLE /
-        |      ((ttot.nt + tot.v) * (md.cs + 1))::DOUBLE) * 10000)
-        |      AS BIGINT)) AS BIGINT) AS logw_e4
-        |  FROM gd JOIN md ON md.g = gd.g, tot, ttot GROUP BY gd.doc_id)
+      s"""WITH $dsirCtes
         |SELECT doc_id, n_bigrams, logw_e4, mean_e4,
         |  CAST(CASE WHEN n_bigrams > 0 AND mean_e4 > 0 THEN 1 ELSE 0 END
         |    AS BIGINT) AS kept
         |FROM (
         |  SELECT d.doc_id,
-        |    coalesce(pd.n_bigrams, 0) AS n_bigrams,
-        |    coalesce(pd.logw_e4, 0) AS logw_e4,
-        |    CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
-        |      ELSE CAST(floor(pd.logw_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
-        |      END AS mean_e4
-        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |    coalesce(pdw.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(pdw.logw_e4, 0) AS logw_e4,
+        |    CASE WHEN coalesce(pdw.n_bigrams, 0) = 0 THEN 0
+        |      ELSE CAST(floor(pdw.logw_e4::DOUBLE / pdw.n_bigrams)
+        |      AS BIGINT) END AS mean_e4
+        |  FROM documents d LEFT JOIN pdw ON pdw.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q62: the leakage-safe split re-derived — q20's min-doc_id-per-text
     // representative, the q56 residue rule over it, the same boundaries.

@@ -452,7 +452,14 @@ object DedupQueries {
     * Docs shorter than [[DecontamN]] tokens have no shingle and are clean
     * by definition (same as the reference implementations).
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontamScored(s, dir).orderBy("doc_id")
+
+  /** [[decontaminate]] without the presentation sort — shared with the
+    * q63 pipeline.
+    */
+  private[operators] def decontamScored(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), DecontamN).as("sh"))
     val isBench = col("doc_id") % DecontamBenchMod === 0
@@ -470,7 +477,6 @@ object DedupQueries {
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("contaminated",
         (col("is_benchmark") === 0 && col("hits") > 0).cast("long"))
-      .orderBy("doc_id")
   }
 
   /** Iteration cap for [[dupClusters]] — min-label propagation needs at

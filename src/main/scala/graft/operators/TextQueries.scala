@@ -142,7 +142,17 @@ object TextQueries {
     * pipeline would hide stage-2+ verdicts for stage-1 drops and
     * re-shuffle per stage).
     */
-  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelFlags(s, dir)
+      .withColumn("final_keep",
+        (col("gopher_keep") === 1 && col("dedup_keep") === 1 &&
+          col("span_keep") === 1).cast("long"))
+      .orderBy("doc_id")
+
+  /** The q53 per-stage flags without the verdict/sort — shared with the
+    * q63 full curation pipeline.
+    */
+  private def funnelFlags(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val g = gopherFlags(docs)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
@@ -154,9 +164,43 @@ object TextQueries {
       .select(col("doc_id"),
         (col("coverage_pct") < 50).cast("long").as("span_keep"))
     g.join(d, "doc_id").join(sp, "doc_id")
+  }
+
+  /** The full modern curation pipeline — q53's funnel extended with the
+    * three model-based stages, the end-to-end recipe a
+    * CCNet/Gopher/RefinedWeb-style webtext corpus actually passes
+    * through, as ONE auditable DAG of INDEPENDENT per-stage flags:
+    *
+    *   gopher_keep : repetition quality (q30)
+    *   dedup_keep  : exact dedup keep-first (q20 rule)
+    *   span_keep   : cross-doc duplicated-span coverage < 50% (q31)
+    *   ppl_keep    : perplexity bucket head/middle — not tail/short (q57)
+    *   dsir_keep   : importance ratio favors the target slice (q58)
+    *   decon_keep  : no 13-gram benchmark collision (q59)
+    *
+    * final_keep = AND of all six. Same design stance as q53: no stage
+    * gates another, so the audit sees every stage's verdict for every
+    * doc (threshold tuning over 100 TB needs the full matrix, and
+    * gating would re-shuffle per stage); every flag join is on doc_id.
+    * Each stage's flag rule is THE same code path its standalone query
+    * uses — a spec cross-checks flag-for-flag against q53/q57/q58/q59.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ppl = perplexityScored(s, dir)
+      .select(col("doc_id"),
+        (col("bucket") === "head" || col("bucket") === "middle")
+          .cast("long").as("ppl_keep"))
+    val dsir = importanceScored(s, dir)
+      .select(col("doc_id"), col("kept").as("dsir_keep"))
+    val dec = DedupQueries.decontamScored(s, dir)
+      .select(col("doc_id"),
+        (col("contaminated") === 0).cast("long").as("decon_keep"))
+    funnelFlags(s, dir)
+      .join(ppl, "doc_id").join(dsir, "doc_id").join(dec, "doc_id")
       .withColumn("final_keep",
         (col("gopher_keep") === 1 && col("dedup_keep") === 1 &&
-          col("span_keep") === 1).cast("long"))
+          col("span_keep") === 1 && col("ppl_keep") === 1 &&
+          col("dsir_keep") === 1 && col("decon_keep") === 1).cast("long"))
       .orderBy("doc_id")
   }
 
@@ -289,7 +333,14 @@ object TextQueries {
     * Output: (doc_id, n_bigrams, logp_e4 total, mean_e4, bucket) with
     * bucket ∈ head/middle/tail/short ("short" = no bigram at all).
     */
-  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame =
+    perplexityScored(s, dir).orderBy("doc_id")
+
+  /** [[perplexityFilter]] without the presentation sort — shared with the
+    * q63 pipeline (flag joins don't need order).
+    */
+  private[operators] def perplexityScored(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val grams = docs.select(col("doc_id"),
       explode(DedupQueries.wordGrams(col("text"), 2)).as("g"))
@@ -324,7 +375,6 @@ object TextQueries {
           .when(col("mean_e4") >= PplHeadE4, "head")
           .when(col("mean_e4") >= PplTailE4, "middle")
           .otherwise("tail"))
-      .orderBy("doc_id")
   }
 
   /** Pre-multiply reduction modulus for the residue sampling rules (q56,
@@ -374,7 +424,14 @@ object TextQueries {
     * (xxhash64 buckets) drops in by swapping the gram key for a hash
     * bucket — kept as plain grams here so the oracle can retrain.
     */
-  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+  def importanceResample(s: SparkSession, dir: String): DataFrame =
+    importanceScored(s, dir).orderBy("doc_id")
+
+  /** [[importanceResample]] without the presentation sort — shared with
+    * the q63 pipeline.
+    */
+  private[operators] def importanceScored(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
     val grams = docs.select(col("doc_id"), col("lang"),
@@ -404,7 +461,6 @@ object TextQueries {
           .otherwise(floor(col("logw_e4") / col("n_bigrams")).cast("long")))
       .withColumn("kept",
         (col("n_bigrams") > 0 && col("mean_e4") > 0).cast("long"))
-      .orderBy("doc_id")
   }
 
   /** Per-mille boundaries for [[leakageSafeSplit]]: train < 800, val <

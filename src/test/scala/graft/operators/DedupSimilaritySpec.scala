@@ -678,6 +678,42 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("test") > 20L && rows("test") < 80L)
   }
 
+  test("curation pipeline (q63): every stage flag equals its standalone " +
+    "query's verdict on the real table; final_keep is the 6-way " +
+    "conjunction; survivors exist and every stage drops someone") {
+    val real = "/root/testdata/sf0.001"
+    val pipe = TextQueries.curationPipeline(spark, real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(pipe.size == 500)
+    val funnel = TextQueries.corpusFunnel(spark, real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ppl = TextQueries.perplexityFilter(spark, real).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getString(4) == "head" || r.getString(4) == "middle") 1L
+         else 0L)).toMap
+    val dsir = TextQueries.importanceResample(spark, real).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val dec = DedupQueries.decontaminate(spark, real).collect()
+      .map(r => r.getLong(0) -> (1L - r.getLong(4))).toMap
+    pipe.foreach { case (id, (g, d, sp, p, i, c, f)) =>
+      assert((g, d, sp) == funnel(id), s"doc $id funnel flags")
+      assert(p == ppl(id), s"doc $id ppl flag")
+      assert(i == dsir(id), s"doc $id dsir flag")
+      assert(c == dec(id), s"doc $id decon flag")
+      assert(f == (if (g == 1 && d == 1 && sp == 1 && p == 1 && i == 1 &&
+        c == 1) 1L else 0L), s"doc $id final_keep")
+    }
+    val rows = pipe.values
+    assert(rows.count(_._7 == 1) > 0, "no survivors")
+    // the model-based stages each drop at least one doc on the real
+    // corpus (exact-dedup/span may legitimately keep everything at
+    // sf0.001 — the table has 500 distinct texts)
+    assert(rows.exists(_._1 == 0) && rows.exists(_._4 == 0) &&
+      rows.exists(_._5 == 0) && rows.exists(_._6 == 0))
+  }
+
   test("media features: histogram mass equals byte count; frame count " +
     "follows the stride arithmetic") {
     val rows = MultimodalQueries.mediaFeatures(spark, dir).collect()
