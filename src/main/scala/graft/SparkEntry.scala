@@ -429,6 +429,32 @@ object SparkEntry {
       |    WHERE doc_id % ${DedupQueries.DecontamBenchMod} <> 0) d
       |  JOIN bg ON bg.g = d.g GROUP BY d.doc_id)""".stripMargin
 
+  /** Shared q53/q63 stage-flag CTEs (gopher keep, exact-dedup keep-first,
+    * span keep) over the [[gopherCtes]]/[[spanCtes]] fragments — one
+    * definition for the funnel and the full pipeline.
+    */
+  private val funnelKeepCtes: String =
+    s"""gk AS (
+      |  SELECT w.doc_id, $gopherKeepSql AS gopher_keep
+      |  FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
+      |    LEFT JOIN cov USING (doc_id)),
+      |dk AS (
+      |  SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id)
+      |      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS dedup_keep
+      |  FROM documents),
+      |sk AS (
+      |  SELECT w8.doc_id,
+      |    CAST(CASE WHEN $spanPctSql < 50 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS span_keep
+      |  FROM w8 LEFT JOIN cov8 USING (doc_id))""".stripMargin
+
+  /** The floor-discretized per-doc mean the q57/q58 bucket/keep rules
+    * read — one definition for the stage oracles and the q63 pipeline.
+    */
+  private def meanE4Sql(tbl: String, tot: String): String =
+    s"CAST(floor($tbl.$tot::DOUBLE / $tbl.n_bigrams) AS BIGINT)"
+
   def oracleSql: Map[String, String] = Map(
     "q26_ann_lsh" ->
       s"""WITH lanes(j, signs) AS (VALUES $q26LanesValues),
@@ -708,20 +734,7 @@ object SparkEntry {
     "q53_corpus_funnel" ->
       s"""WITH $gopherCtes,
         |$spanCtes,
-        |gk AS (
-        |  SELECT w.doc_id, $gopherKeepSql AS gopher_keep
-        |  FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
-        |    LEFT JOIN cov USING (doc_id)),
-        |dk AS (
-        |  SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id)
-        |      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT)
-        |    AS dedup_keep
-        |  FROM documents),
-        |sk AS (
-        |  SELECT w8.doc_id,
-        |    CAST(CASE WHEN $spanPctSql < 50 THEN 1 ELSE 0 END AS BIGINT)
-        |      AS span_keep
-        |  FROM w8 LEFT JOIN cov8 USING (doc_id))
+        |$funnelKeepCtes
         |SELECT gk.doc_id, gk.gopher_keep, dk.dedup_keep, sk.span_keep,
         |  CAST(CASE WHEN gk.gopher_keep = 1 AND dk.dedup_keep = 1
         |    AND sk.span_keep = 1 THEN 1 ELSE 0 END AS BIGINT) AS final_keep
@@ -738,44 +751,32 @@ object SparkEntry {
         |$pplCtes,
         |$dsirCtes,
         |$deconCtes,
-        |gk AS (
-        |  SELECT w.doc_id, $gopherKeepSql AS gopher_keep
-        |  FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
-        |    LEFT JOIN cov USING (doc_id)),
-        |dk AS (
-        |  SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id)
-        |      OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT)
-        |    AS dedup_keep
-        |  FROM documents),
-        |sk AS (
-        |  SELECT w8.doc_id,
-        |    CAST(CASE WHEN $spanPctSql < 50 THEN 1 ELSE 0 END AS BIGINT)
-        |      AS span_keep
-        |  FROM w8 LEFT JOIN cov8 USING (doc_id)),
+        |$funnelKeepCtes,
         |pk AS (
         |  SELECT d.doc_id, CAST(CASE WHEN coalesce(pd.n_bigrams, 0) > 0
-        |      AND CAST(floor(pd.logp_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
+        |      AND ${meanE4Sql("pd", "logp_e4")}
         |        >= ${TextQueries.PplTailE4}
         |    THEN 1 ELSE 0 END AS BIGINT) AS ppl_keep
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
         |ik AS (
         |  SELECT d.doc_id, CAST(CASE WHEN coalesce(pdw.n_bigrams, 0) > 0
-        |      AND CAST(floor(pdw.logw_e4::DOUBLE / pdw.n_bigrams)
-        |        AS BIGINT) > 0
+        |      AND ${meanE4Sql("pdw", "logw_e4")} > 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS dsir_keep
         |  FROM documents d LEFT JOIN pdw ON pdw.doc_id = d.doc_id),
         |ck AS (
         |  SELECT d.doc_id, CAST(CASE WHEN
         |      d.doc_id % ${DedupQueries.DecontamBenchMod} <> 0
         |      AND coalesce(hv.hits, 0) > 0 THEN 0 ELSE 1 END AS BIGINT)
-        |    AS decon_keep
+        |    AS decon_keep,
+        |    CAST(CASE WHEN d.doc_id % ${DedupQueries.DecontamBenchMod} = 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark
         |  FROM documents d LEFT JOIN hv ON hv.doc_id = d.doc_id)
         |SELECT gk.doc_id, gk.gopher_keep, dk.dedup_keep, sk.span_keep,
-        |  pk.ppl_keep, ik.dsir_keep, ck.decon_keep,
+        |  pk.ppl_keep, ik.dsir_keep, ck.decon_keep, ck.is_benchmark,
         |  CAST(CASE WHEN gk.gopher_keep = 1 AND dk.dedup_keep = 1
         |    AND sk.span_keep = 1 AND pk.ppl_keep = 1 AND ik.dsir_keep = 1
-        |    AND ck.decon_keep = 1 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS final_keep
+        |    AND ck.decon_keep = 1 AND ck.is_benchmark = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS final_keep
         |FROM gk JOIN dk USING (doc_id) JOIN sk USING (doc_id)
         |  JOIN pk USING (doc_id) JOIN ik USING (doc_id)
         |  JOIN ck USING (doc_id)
@@ -934,7 +935,7 @@ object SparkEntry {
         |    coalesce(pd.n_bigrams, 0) AS n_bigrams,
         |    coalesce(pd.logp_e4, 0) AS logp_e4,
         |    CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
-        |      ELSE CAST(floor(pd.logp_e4::DOUBLE / pd.n_bigrams) AS BIGINT)
+        |      ELSE ${meanE4Sql("pd", "logp_e4")}
         |      END AS mean_e4
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
@@ -978,8 +979,8 @@ object SparkEntry {
         |    coalesce(pdw.n_bigrams, 0) AS n_bigrams,
         |    coalesce(pdw.logw_e4, 0) AS logw_e4,
         |    CASE WHEN coalesce(pdw.n_bigrams, 0) = 0 THEN 0
-        |      ELSE CAST(floor(pdw.logw_e4::DOUBLE / pdw.n_bigrams)
-        |      AS BIGINT) END AS mean_e4
+        |      ELSE ${meanE4Sql("pdw", "logw_e4")}
+        |      END AS mean_e4
         |  FROM documents d LEFT JOIN pdw ON pdw.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q62: the leakage-safe split re-derived — q20's min-doc_id-per-text

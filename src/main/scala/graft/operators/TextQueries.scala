@@ -177,8 +177,16 @@ object TextQueries {
     *   ppl_keep    : perplexity bucket head/middle — not tail/short (q57)
     *   dsir_keep   : importance ratio favors the target slice (q58)
     *   decon_keep  : no 13-gram benchmark collision (q59)
+    *   is_benchmark: the doc IS part of the benchmark slice — carried
+    *                 through so final_keep can exclude it (the eval
+    *                 documents themselves must never reach the training
+    *                 corpus; q59's collision rule alone marks benchmark
+    *                 docs clean, which is correct for the standalone
+    *                 audit but would leak them through a keep-only
+    *                 consumer)
     *
-    * final_keep = AND of all six. Same design stance as q53: no stage
+    * final_keep = AND of the six keeps AND NOT is_benchmark. Same design
+    * stance as q53: no stage
     * gates another, so the audit sees every stage's verdict for every
     * doc (threshold tuning over 100 TB needs the full matrix, and
     * gating would re-shuffle per stage); every flag join is on doc_id.
@@ -194,13 +202,15 @@ object TextQueries {
       .select(col("doc_id"), col("kept").as("dsir_keep"))
     val dec = DedupQueries.decontamScored(s, dir)
       .select(col("doc_id"),
-        (col("contaminated") === 0).cast("long").as("decon_keep"))
+        (col("contaminated") === 0).cast("long").as("decon_keep"),
+        col("is_benchmark"))
     funnelFlags(s, dir)
       .join(ppl, "doc_id").join(dsir, "doc_id").join(dec, "doc_id")
       .withColumn("final_keep",
         (col("gopher_keep") === 1 && col("dedup_keep") === 1 &&
           col("span_keep") === 1 && col("ppl_keep") === 1 &&
-          col("dsir_keep") === 1 && col("decon_keep") === 1).cast("long"))
+          col("dsir_keep") === 1 && col("decon_keep") === 1 &&
+          col("is_benchmark") === 0).cast("long"))
       .orderBy("doc_id")
   }
 

@@ -684,7 +684,8 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val real = "/root/testdata/sf0.001"
     val pipe = TextQueries.curationPipeline(spark, real).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))).toMap
     assert(pipe.size == 500)
     val funnel = TextQueries.corpusFunnel(spark, real).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
@@ -697,16 +698,25 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(4)).toMap
     val dec = DedupQueries.decontaminate(spark, real).collect()
       .map(r => r.getLong(0) -> (1L - r.getLong(4))).toMap
-    pipe.foreach { case (id, (g, d, sp, p, i, c, f)) =>
+    pipe.foreach { case (id, (g, d, sp, p, i, c, b, f)) =>
       assert((g, d, sp) == funnel(id), s"doc $id funnel flags")
       assert(p == ppl(id), s"doc $id ppl flag")
       assert(i == dsir(id), s"doc $id dsir flag")
       assert(c == dec(id), s"doc $id decon flag")
+      assert(b == (if (id % DedupQueries.DecontamBenchMod == 0) 1L else 0L),
+        s"doc $id is_benchmark")
       assert(f == (if (g == 1 && d == 1 && sp == 1 && p == 1 && i == 1 &&
-        c == 1) 1L else 0L), s"doc $id final_keep")
+        c == 1 && b == 0) 1L else 0L), s"doc $id final_keep")
+    }
+    // the benchmark slice itself NEVER reaches the curated corpus —
+    // q59's collision rule marks benchmark docs clean (right for the
+    // audit), so the pipeline must exclude them explicitly
+    pipe.foreach { case (id, row) =>
+      if (id % DedupQueries.DecontamBenchMod == 0)
+        assert(row._8 == 0L, s"benchmark doc $id leaked into final_keep")
     }
     val rows = pipe.values
-    assert(rows.count(_._7 == 1) > 0, "no survivors")
+    assert(rows.count(_._8 == 1) > 0, "no survivors")
     // the model-based stages each drop at least one doc on the real
     // corpus (exact-dedup/span may legitimately keep everything at
     // sf0.001 — the table has 500 distinct texts)
