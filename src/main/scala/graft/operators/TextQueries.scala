@@ -126,11 +126,18 @@ object TextQueries {
     *   gopher_keep : repetition quality ([[gopherFlags]] — map-only
     *                 kernel pass)
     *   dedup_keep  : exact dedup, keep-first — doc_id equals the min
-    *                 doc_id of its text group (one window over the text
-    *                 partition; at 10^10 docs you'd partition by
-    *                 xxhash64(text) — fixed-width shuffle key, same
-    *                 groups at ~2⁻⁶⁴ collision rates — exactly as q20's
-    *                 scaladoc describes)
+    *                 doc_id of its text group, derived from the SAME
+    *                 [[dedupReps]] partial aggregate q62 keys its split
+    *                 on (groupBy(text).agg(min) + join-back — NOT a
+    *                 window: all copies of a hot identical text — "404
+    *                 not found", empty pages, easily 10^7-10^8 rows on
+    *                 a web corpus — would land in ONE window partition
+    *                 that AQE cannot split, whereas the partial
+    *                 aggregate combines map-side and the join-back is
+    *                 AQE-skew-splittable; at 10^10 docs the key becomes
+    *                 xxhash64(text) — fixed-width, same groups at ~2⁻⁶⁴
+    *                 collision rates — exactly as q20's scaladoc
+    *                 describes)
     *   span_keep   : cross-document duplicated-span coverage < 50%
     *                 ([[DedupQueries.spanCoverage]] postings machinery)
     *
@@ -149,6 +156,15 @@ object TextQueries {
           col("span_keep") === 1).cast("long"))
       .orderBy("doc_id")
 
+  /** Exact-dedup representatives: min doc_id per identical text — the
+    * q20 keep-first rule as a partial (map-side-combining) aggregate.
+    * ONE definition shared by the q53/q63 `dedup_keep` stage and the
+    * q62 leakage-safe split key, so the dedup rule cannot drift between
+    * the funnel and the split.
+    */
+  private[graft] def dedupReps(docs: DataFrame): DataFrame =
+    docs.groupBy("text").agg(min("doc_id").as("rep"))
+
   /** The q53 per-stage flags without the verdict/sort — shared with the
     * q63 full curation pipeline.
     */
@@ -156,10 +172,10 @@ object TextQueries {
     val docs = t(s, dir, "documents")
     val g = gopherFlags(docs)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val d = docs.select(col("doc_id"),
-      (col("doc_id") === min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
-        .cast("long").as("dedup_keep"))
+    val d = docs.select(col("doc_id"), col("text"))
+      .join(dedupReps(docs), "text")
+      .select(col("doc_id"),
+        (col("doc_id") === col("rep")).cast("long").as("dedup_keep"))
     val sp = DedupQueries.spanCoverage(docs)
       .select(col("doc_id"),
         (col("coverage_pct") < 50).cast("long").as("span_keep"))
@@ -496,8 +512,7 @@ object TextQueries {
     */
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val reps = docs.groupBy("text").agg(min("doc_id").as("rep"))
-    docs.join(reps, "text")
+    docs.join(dedupReps(docs), "text")
       .withColumn("permille",
         pmod(pmod(col("rep"), lit(ResidueReduceMod)) * 2654435761L,
           lit(1000L)))

@@ -85,6 +85,31 @@ class HotKeyDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getLong(2) == 100L))
   }
 
+  test("q53/q63 planted hot identical text: 50k byte-identical docs " +
+    "(the '404 not found' web-corpus mode) flow through the funnel's " +
+    "dedup_keep as a partial aggregate + join-back — bounded run, " +
+    "exactly one keeper, and no Window node in the plan") {
+    // uncapped-window formulation: all 50k copies land in ONE window
+    // partition sorting full text payloads in a single task; the
+    // dedupReps aggregate combines map-side (4 partitions → 4 partial
+    // rows for the hot text) and the join-back is AQE-splittable
+    val n = 50000
+    val dir = writeDocs(Seq.tabulate(n)(i =>
+      if (i % 2 == 0) "404 not found error page"
+      else s"unique page body number $i with distinct content"))
+    val funnel = TextQueries.corpusFunnel(spark, dir)
+    val plan = funnel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"funnel must not window over text:\n$plan")
+    val keep = funnel.select("doc_id", "dedup_keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(0L) == 1L, "first copy of the hot text is the keeper")
+    assert(keep(2L) == 0L && keep(n.toLong - 2) == 0L,
+      "later copies of the hot text are dropped")
+    assert(keep(1L) == 1L && keep(3L) == 1L, "unique docs all kept")
+    assert(keep.count(_._2 == 1L) == n / 2 + 1)
+  }
+
   test("q23 planted identical-doc clump: 10k identical simhashes share " +
     "all four chunks — capped away; a clump under the cap pairs at " +
     "hamming 0") {

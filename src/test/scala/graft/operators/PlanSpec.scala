@@ -225,15 +225,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("corpus funnel (q53): three independent stage flags joined on " +
-    "doc_id — no cartesian, no UDF, and only the one designed window " +
-    "(exact-dedup min-per-text; the span dup-gram flag is the q31 " +
-    "two-phase aggregate, not a window)") {
+    "doc_id — no cartesian, no UDF, and NO window anywhere (the " +
+    "exact-dedup stage is the dedupReps partial aggregate + join-back, " +
+    "AQE-skew-splittable; the span flag is the q31 two-phase aggregate)") {
     val p = plan(graft.operators.TextQueries.corpusFunnel(spark, dir))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"), s"UDF in the funnel:\n$p")
     val finalPlan = p.split("== Initial Plan ==").head
-    assert(finalPlan.split("Window \\[").length - 1 <= 1,
-      s"unexpected extra window in:\n$p")
+    assert(!finalPlan.contains("Window"),
+      s"window in the funnel plan (hot-identical-text straggler):\n$p")
+  }
+
+  test("curation pipeline (q63): no window anywhere in the six-stage " +
+    "DAG — every stage is aggregates + doc_id equi-joins") {
+    val p = plan(graft.operators.TextQueries.curationPipeline(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      s"window in the curation plan:\n$p")
   }
 
   test("api lookup (q28): the variant/clean/atom-parse path is native " +
