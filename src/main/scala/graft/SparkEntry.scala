@@ -70,6 +70,8 @@ object SparkEntry {
     "q25_ann_brute" -> (SimilarityQueries.annBruteForce _),
     "q26_ann_lsh" -> (SimilarityQueries.annLsh _),
     "q51_ann_ivf" -> (SimilarityQueries.annIvf _),
+    "q64_knn_join_ivf" -> (SimilarityQueries.knnJoinIvf _),
+    "q65_knn_join_lsh" -> (SimilarityQueries.knnJoinLsh _),
     "q55_ann_pq" -> (SimilarityQueries.annPq _),
     "q52_semdedup" -> (SimilarityQueries.semDedup _),
     // multimodal binary-column plumbing (decode stubbed, plumbing real)
@@ -879,6 +881,78 @@ object SparkEntry {
         |JOIN qcells p ON a.cell = p.cell, q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_e4 DESC, e.vec_id LIMIT 10""".stripMargin,
+    // q64: the k-NN JOIN oracle — DuckDB re-runs the Lloyd training, the
+    // per-query probe-cell pick (row_number per query mirrors the sorted
+    // struct-array slice), the cell equi-join, and the per-query exact
+    // top-k rerank. Each corpus vector has exactly one asnF cell, so the
+    // join cannot duplicate a (query, vector) pair.
+    "q64_knn_join_ivf" ->
+      s"""WITH $ivfLloydCtes,
+        |qcells AS (
+        |  SELECT vec_id AS query_id, j AS cell FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
+        |    FROM cosF WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0)
+        |  WHERE rn <= ${SimilarityQueries.IvfProbes}),
+        |qv AS (
+        |  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+        |  WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0),
+        |cand AS (
+        |  SELECT qv.query_id, e.vec_id, ${ce4Sql("e.embedding", "qv.q")}
+        |    AS cos_e4
+        |  FROM embeddings e
+        |  JOIN asnF a ON a.vec_id = e.vec_id
+        |  JOIN qcells p ON a.cell = p.cell
+        |  JOIN qv ON qv.query_id = p.query_id
+        |  WHERE e.vec_id % ${SimilarityQueries.KnnQueryMod} <> 0)
+        |SELECT query_id, vec_id, cos_e4, rank FROM (
+        |  SELECT query_id, vec_id, cos_e4,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_e4 DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= ${SimilarityQueries.KnnK}
+        |ORDER BY query_id, rank""".stripMargin,
+    // q65: the LSH twin — signatures/hamming-1 probes re-derived from the
+    // inlined lane-sign constants (the q26 oracle generalized to a query
+    // table; one bucket per corpus vector, 9 distinct probe buckets per
+    // query, so no pair duplication here either).
+    "q65_knn_join_lsh" ->
+      s"""WITH lanes(j, signs) AS (VALUES $q26LanesValues),
+        |dots AS (
+        |  SELECT e.vec_id, l.j,
+        |    list_sum(list_transform(range(1,65),
+        |      i -> e.embedding[i]::DOUBLE * l.signs[i])) AS d
+        |  FROM embeddings e, lanes l),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1<<j ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |qprobes AS (
+        |  SELECT vec_id AS query_id, bucket AS b FROM buckets
+        |  WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0
+        |  UNION ALL
+        |  SELECT vec_id, xor(bucket, CAST(1<<j AS BIGINT))
+        |  FROM buckets, generate_series(0, 7) t(j)
+        |  WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0),
+        |qv AS (
+        |  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+        |  WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0),
+        |cand AS (
+        |  SELECT qv.query_id, e.vec_id, ${ce4Sql("e.embedding", "qv.q")}
+        |    AS cos_e4
+        |  FROM embeddings e
+        |  JOIN buckets bk ON bk.vec_id = e.vec_id
+        |  JOIN qprobes p ON bk.bucket = p.b
+        |  JOIN qv ON qv.query_id = p.query_id
+        |  WHERE e.vec_id % ${SimilarityQueries.KnnQueryMod} <> 0)
+        |SELECT query_id, vec_id, cos_e4, rank FROM (
+        |  SELECT query_id, vec_id, cos_e4,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_e4 DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= ${SimilarityQueries.KnnK}
+        |ORDER BY query_id, rank""".stripMargin,
     // q55: DuckDB recomputes the whole PQ pipeline — it re-RUNS the
     // deterministic Lloyd codebook training ([[pqLloydCtes]]; row_number
     // ORDER BY d, k mirrors the kernel's first-min tiebreak, and the raw

@@ -167,6 +167,89 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- k-NN JOIN (q64/q65): a query TABLE, not one vector ----------------
+
+  /** Which vec_ids form the query table for the k-NN join queries:
+    * every [[KnnQueryMod]]-th id (10 queries at the 500-row test scales,
+    * 40 at sf0.1). The corpus is everything else — queries never match
+    * themselves.
+    */
+  val KnnQueryMod = 50
+
+  /** Neighbors returned per query row. */
+  val KnnK = 10
+
+  /** Per-query bounded top-k over scored (query_id, vec_id, cos_e4)
+    * candidates: `row_number ≤ k` over (query_id | cos DESC, vec_id),
+    * which Spark 4 plans as `WindowGroupLimit` — each map task keeps at
+    * most k rows PER QUERY before the shuffle (plan-pinned in PlanSpec),
+    * so the shuffle moves O(tasks × queries × k) rows, never the full
+    * candidate set. This is the window shape that IS safe at scale: the
+    * partition key is the query id (bounded fan-in by construction),
+    * unlike the removed q53 text window (unbounded hot-key fan-in).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_e4").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF k-NN JOIN: every query's exact-reranked top-[[KnnK]] against the
+    * corpus — the retrieval-eval / cluster-assignment / candidate-gen
+    * workhorse, vs [[annIvf]]'s single broadcast vector. Shape: corpus
+    * assigned to its trained coarse cell ONCE (narrow map — the table's
+    * partition key at 10^10 vectors); each query explodes to its
+    * [[IvfProbes]] nearest cells; an equi-join on `cell` pairs each query
+    * with only its probe-cell candidates (each corpus vector has exactly
+    * ONE cell, so no (query, vector) pair can duplicate); per-query top-k
+    * via [[topKPerQuery]]. With 10^6 queries nothing changes: the join
+    * shuffles both sides on `cell` instead of broadcasting the probe side
+    * (AQE's choice, not the plan's), and the WindowGroupLimit keeps the
+    * top-k shuffle bounded.
+    */
+  def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = Codebooks.ivf(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val isQuery = col("vec_id") % KnnQueryMod === 0
+    val corpus = emb.filter(!isQuery)
+      .withColumn("cell", ivfCell(col("embedding"), cents))
+    val probes = emb.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(slice(ivfSorted(col("embedding"), cents), 1, IvfProbes)
+          .getField("j")).as("cell"))
+    val scored = corpus.join(probes, "cell")
+      .select(col("query_id"), col("vec_id"),
+        cosE4(col("embedding"), col("q")).as("cos_e4"))
+    topKPerQuery(scored, KnnK)
+  }
+
+  /** LSH k-NN JOIN: the [[annLsh]] hyperplane buckets driven by a query
+    * TABLE — corpus bucketed once by signature, each query probing its
+    * own bucket plus all hamming-1 neighbors (9 distinct buckets; a
+    * corpus vector has ONE bucket, so pairs cannot duplicate), exact
+    * rerank per query via [[topKPerQuery]]. Complements [[knnJoinIvf]]:
+    * same join shape, data-independent buckets (no training pass), lower
+    * recall on isotropic data — the LSH-vs-IVF tradeoff made measurable
+    * side by side.
+    */
+  def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", rhpSigCol(col("embedding")))
+    val isQuery = col("vec_id") % KnnQueryMod === 0
+    val corpus = emb.filter(!isQuery)
+    val probes = emb.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(array(col("bucket") +: (0 until 8).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val scored = corpus.join(probes, "bucket")
+      .select(col("query_id"), col("vec_id"),
+        cosE4(col("embedding"), col("q")).as("cos_e4"))
+    topKPerQuery(scored, KnnK)
+  }
+
   // ---- PQ ANN (q55) --------------------------------------------------------
 
   /** Packed PQ codes — 16 subvectors × 4 bits ([[graft.functions.PqCodes]]

@@ -135,6 +135,78 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((brute & ivf).size >= 7, s"recall dropped: ${brute & ivf}")
   }
 
+  // per-query exact brute-force top-10 over the k-NN-join query slice —
+  // the recall yardstick for both join variants (one plan: tiny broadcast
+  // cross join at test scale; the OPERATORS never do this)
+  private def knnBrute(real: String): Map[(Long, Long), Long] = {
+    val emb = spark.read.parquet(s"$real/embeddings.parquet")
+    val isQ = col("vec_id") % SimilarityQueries.KnnQueryMod === 0
+    val qv = emb.filter(isQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    emb.filter(!isQ).crossJoin(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        SimilarityQueries.cosE4(col("embedding"), col("q")).as("cos_e4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+  }
+
+  private def topKOf(scores: Map[(Long, Long), Long], k: Int)
+      : Map[Long, Set[Long]] =
+    scores.groupBy(_._1._1).map { case (q, m) =>
+      q -> m.toSeq.sortBy { case ((_, v), c) => (-c, v) }.take(k)
+        .map(_._1._2).toSet
+    }
+
+  test("k-NN JOIN (IVF) on the real table: 10 queries, each with exactly " +
+    "k exact-scored neighbors; mean recall@10 vs per-query brute force " +
+    "matches the single-query IVF path's bar") {
+    val real = "/root/testdata/sf0.001"
+    val knn = SimilarityQueries.knnJoinIvf(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQuery = knn.groupBy(_._1)
+    assert(byQuery.size == 10, s"expected 500/50 queries, got ${byQuery.size}")
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to 10L), s"ranks broken for $q")
+    }
+    val brute = knnBrute(real)
+    knn.foreach { case (q, v, cos, _) =>
+      assert(brute((q, v)) == cos, s"score drift for ($q,$v)")
+    }
+    val bruteTop = topKOf(brute, 10)
+    val recalls = byQuery.map { case (q, rows) =>
+      (bruteTop(q) & rows.map(_._2).toSet).size
+    }.toSeq
+    val mean = recalls.sum.toDouble / recalls.size
+    // deterministic table + deterministic Lloyd → deterministic recall;
+    // single-query annIvf measures 10/10 on this table, the 10-query mean
+    // is pinned with the same headroom as that test (≥ 7/10)
+    assert(mean >= 7.0, s"mean recall dropped: $mean ($recalls)")
+  }
+
+  test("k-NN JOIN (LSH) on the real table: exact scores, bounded probes — " +
+    "lower recall than IVF on isotropic data is the expected tradeoff, " +
+    "but the planted-structure guarantee (hamming-1 probe set) holds") {
+    val real = "/root/testdata/sf0.001"
+    val knn = SimilarityQueries.knnJoinLsh(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQuery = knn.groupBy(_._1)
+    assert(byQuery.size == 10)
+    val brute = knnBrute(real)
+    knn.foreach { case (q, v, cos, _) =>
+      assert(brute((q, v)) == cos, s"score drift for ($q,$v)")
+    }
+    val bruteTop = topKOf(brute, 10)
+    val recalls = byQuery.map { case (q, rows) =>
+      (bruteTop(q) & rows.map(_._2).toSet).size
+    }.toSeq
+    val mean = recalls.sum.toDouble / recalls.size
+    // measured 0.8 on the deterministic table (random hyperplanes over
+    // ISOTROPIC vectors probe 9/256 buckets ≈ 3.5% of the corpus — recall
+    // ∝ probe fraction when there is no cluster structure, which is why
+    // q64's data-adaptive IVF cells are the default); pinned with headroom
+    assert(mean >= 0.5, s"mean recall dropped: $mean ($recalls)")
+  }
+
   test("ANN PQ on the real embeddings table: top-100 ADC candidates exact-" +
     "reranked recover most of the brute top-10; rerank scores are exact") {
     val real = "/root/testdata/sf0.001"

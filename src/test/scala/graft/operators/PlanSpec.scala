@@ -245,6 +245,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"window in the curation plan:\n$p")
   }
 
+  test("k-NN join (q64/q65): probe equi-join — never cartesian — and the " +
+    "per-query top-k plans as WindowGroupLimit (map-side k rows per query " +
+    "BEFORE the shuffle), not a full window sort over all candidates") {
+    for (df <- Seq(graft.operators.SimilarityQueries.knnJoinIvf(spark, dir),
+      graft.operators.SimilarityQueries.knnJoinLsh(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("WindowGroupLimit"),
+        s"rank-limit not pushed into WindowGroupLimit:\n$p")
+    }
+  }
+
   test("api lookup (q28): the variant/clean/atom-parse path is native " +
     "codegen expressions — no ScalaUDF anywhere; the index side is " +
     "broadcast") {
