@@ -386,27 +386,61 @@ object DedupQueries {
       ColumnBridge.expression(text)))
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, blocked by the
-    * 4-chunk pigeonhole: two hashes within hamming 3 must agree on at
-    * least one of four 16-bit chunks, so candidates come from equi-joins
-    * on chunks — never an all-pairs scan. Chunk buckets over [[BucketCap]]
-    * are dropped two-phase before the self-join (identical docs share all
-    * four chunks → one uncapped bucket is p² pairs; exact dups belong to
-    * the q20 pre-stage). Scale note: 16-bit chunks give only 2^16 buckets
-    * per chunk index, so at 10^10 docs EVERY bucket is hot by chance
-    * alone — there you widen the pigeonhole (e.g. 6 chunks of 21 bits
-    * covers hamming ≤ 5 with 2^21 buckets, or chunk-pair keys at 2^32),
-    * which changes only the `chunks` arity here, not the plan shape.
+    * default 4×16-bit chunk pigeonhole: two hashes within hamming 3 must
+    * agree on at least one of four 16-bit chunks, so candidates come from
+    * equi-joins on chunks — never an all-pairs scan. Chunk buckets over
+    * [[BucketCap]] are dropped two-phase before the self-join (identical
+    * docs share all four chunks → one uncapped bucket is p² pairs; exact
+    * dups belong to the q20 pre-stage). Scale note: 16-bit chunks give
+    * only 2^16 buckets per chunk index, so at 10^10 docs EVERY bucket is
+    * hot by chance alone and the capped operator returns nothing — there
+    * you widen the pigeonhole via [[simhashPairsWith]]'s parameters
+    * (e.g. `pairKeys = true` joins on 2^32-value chunk PAIRS, or 6×10-bit
+    * pair keys at 2^20 per pair index), which changes only the key
+    * arity, not the plan shape. HotKeyDedupSpec proves the saturation
+    * boundary at test scale: a bucket space too small for the corpus
+    * drops a planted pair that the widened scheme keeps.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsWith(t(s, dir, "documents"))
+
+  /** The parameterized pigeonhole behind [[simhashPairs]] (defaults are
+    * the q23 contract, bit-identical to the fixed 4×16 scheme).
+    *
+    * Guarantee: with `nChunks` disjoint chunks, ≤ `maxHamming` differing
+    * bits touch ≤ `maxHamming` chunks, so a true pair agrees on at least
+    * `nChunks − maxHamming` chunks — ≥ 1 single-chunk key when
+    * `maxHamming < nChunks`, and ≥ 1 chunk-PAIR key when
+    * `maxHamming ≤ nChunks − 2` (`pairKeys = true`). Bits above
+    * `nChunks × chunkBits` are simply uncovered: differences there can
+    * only reduce within-chunk differences, so the guarantee is
+    * unaffected. Pair keys multiply the bucket space from `2^chunkBits`
+    * to `2^(2·chunkBits)` per key index at a candidate-generation cost of
+    * C(nChunks, 2) vs nChunks explode rows — the knob that keeps bucket
+    * occupancy below `cap` as the corpus grows 10^4×.
+    */
+  def simhashPairsWith(docs0: DataFrame, nChunks: Int = 4,
+      chunkBits: Int = 16, pairKeys: Boolean = false, maxHamming: Int = 3,
+      cap: Long = BucketCap): DataFrame = {
+    require(nChunks * chunkBits <= 64, "chunks must fit the 64-bit hash")
+    require(
+      if (pairKeys) maxHamming <= nChunks - 2 else maxHamming < nChunks,
+      s"pigeonhole broken: $nChunks chunks (pairKeys=$pairKeys) cannot " +
+        s"guarantee hamming<=$maxHamming")
+    val mask = (1L << chunkBits) - 1L
+    def chunkAt(c: Int): Column =
+      shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))
+    val keyCols: Seq[Column] =
+      if (!pairKeys) (0 until nChunks).map(chunkAt)
+      else for { i <- 0 until nChunks; j <- (i + 1) until nChunks }
+        yield shiftleft(chunkAt(i), chunkBits).bitwiseOR(chunkAt(j))
+    val docs = docs0
       .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
     val chunked = docs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
+      posexplode(array(keyCols: _*)).as(Seq("chunk_idx", "chunk")))
     val hotChunks = chunked.groupBy("chunk_idx", "chunk")
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > BucketCap)
+      .filter(col("n") > cap)
       .select("chunk_idx", "chunk")
     val kept = chunked.join(hotChunks, Seq("chunk_idx", "chunk"), "left_anti")
       .select("doc_id", "simhash", "chunk_idx", "chunk")
@@ -420,7 +454,7 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", hamming.cast("int"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }

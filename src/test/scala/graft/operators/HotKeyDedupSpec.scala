@@ -110,6 +110,58 @@ class HotKeyDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keep.count(_._2 == 1L) == n / 2 + 1)
   }
 
+  test("q23 pigeonhole saturation boundary: a bucket space too small for " +
+    "the corpus caps EVERY bucket away and silently drops a planted pair " +
+    "— widening the chunks (or switching to chunk-pair keys) finds it " +
+    "again with the same plan") {
+    // scaled-down analogy of 2^16 buckets at 10^10 docs: 2^4 buckets at
+    // 2k docs puts ~125 docs in every bucket, all over the cap of 64 —
+    // the capped operator returns nothing, including the planted
+    // identical pair (hamming 0)
+    val n = 2000
+    val texts = (0 until n).map(i =>
+      s"uniq${i}a uniq${i}b uniq${i}c uniq${i}d uniq${i}e uniq${i}f") :+
+      s"uniq42a uniq42b uniq42c uniq42d uniq42e uniq42f" // dup of doc 42
+    val docs = spark.read.parquet(s"${writeDocs(texts)}/documents.parquet")
+    val planted = (42L, n.toLong)
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val saturated = pairsOf(
+      DedupQueries.simhashPairsWith(docs, nChunks = 4, chunkBits = 4))
+    assert(!saturated.contains(planted),
+      "saturated bucket space should have capped the planted pair away")
+
+    // the default 4×16 scheme: 2^16 buckets per chunk index is roomy at
+    // this corpus size — the planted pair survives the cap
+    val widened = pairsOf(DedupQueries.simhashPairsWith(docs))
+    assert(widened.contains(planted), s"widened scheme lost the pair")
+
+    // chunk-PAIR keys: 6×10-bit chunks joined on C(6,2)=15 pair keys —
+    // 2^20 bucket values per key index from the same 64-bit hash; the
+    // pigeonhole still guarantees hamming ≤ 3 (≤ 6−2) and finds the pair
+    val paired = pairsOf(DedupQueries.simhashPairsWith(docs,
+      nChunks = 6, chunkBits = 10, pairKeys = true))
+    assert(paired.contains(planted), s"pair-key scheme lost the pair")
+  }
+
+  test("q23 pigeonhole parameter guard: schemes that cannot guarantee " +
+    "the hamming radius are rejected, not silently lossy") {
+    val docs = spark.read.parquet(
+      s"${writeDocs(Seq("a b c", "d e f"))}/documents.parquet")
+    intercept[IllegalArgumentException] {
+      DedupQueries.simhashPairsWith(docs, nChunks = 3, maxHamming = 3)
+    }
+    intercept[IllegalArgumentException] {
+      DedupQueries.simhashPairsWith(docs, nChunks = 4, pairKeys = true,
+        maxHamming = 3)
+    }
+    intercept[IllegalArgumentException] {
+      DedupQueries.simhashPairsWith(docs, nChunks = 5, chunkBits = 16)
+    }
+  }
+
   test("q23 planted identical-doc clump: 10k identical simhashes share " +
     "all four chunks — capped away; a clump under the cap pairs at " +
     "hamming 0") {
