@@ -74,8 +74,10 @@ object SparkEntry {
     "q65_knn_join_lsh" -> (SimilarityQueries.knnJoinLsh _),
     "q55_ann_pq" -> (SimilarityQueries.annPq _),
     "q52_semdedup" -> (SimilarityQueries.semDedup _),
-    // multimodal binary-column plumbing (decode stubbed, plumbing real)
+    // multimodal binary columns: q27 byte-level blob plumbing (frame
+    // sampling over opaque payloads), q66 REAL PNG decode via JDK ImageIO
     "q27_media_features" -> (MultimodalQueries.mediaFeatures _),
+    "q66_image_decode" -> (MultimodalQueries.imageDecode _),
     "q28_api_lookup" -> (CoreQueries.apiLookup _),
     "q29_numeric_sort" -> (CoreQueries.numericSort _),
     // ICLR end-to-end: S6 saved-html files → lookaround regex extract
@@ -1235,6 +1237,23 @@ object SparkEntry {
         | CAST(CASE WHEN octet_length(encode(text))//64 = 0 THEN 0
         |   ELSE (octet_length(encode(text))//64 + 3) // 4 END AS BIGINT)
         |   AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q66: the oracle recomputes the DECODED image stats straight from
+    // the SQL-expressible pixel spec (ImageSpec scaladoc) — PNG is
+    // lossless RGB, so Spark's real encode→ImageIO.read→sum round trip
+    // must land on exactly these values.
+    "q66_image_decode" ->
+      """SELECT d.doc_id,
+        | CAST(4 + d.doc_id % 13 AS INT) AS width,
+        | CAST(4 + d.doc_id % 11 AS INT) AS height,
+        | CAST(SUM((31*d.doc_id + 7*x.i + 13*y.i) % 256) AS BIGINT) AS r_sum,
+        | CAST(SUM((17*d.doc_id + 11*x.i + 5*y.i) % 256) AS BIGINT) AS g_sum,
+        | CAST(SUM((13*d.doc_id + 3*x.i + 29*y.i) % 256) AS BIGINT) AS b_sum
+        |FROM documents d,
+        | generate_series(0, 15) x(i),
+        | generate_series(0, 13) y(i)
+        |WHERE x.i < 4 + d.doc_id % 13 AND y.i < 4 + d.doc_id % 11
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

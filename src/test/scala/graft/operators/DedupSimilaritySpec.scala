@@ -811,4 +811,41 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val h = MultimodalQueries.FakeDecode.features("AAAA".getBytes("UTF-8"))
     assert(h(4) == 4 && h.sum == 4) // 'A' = 0x41 → bin 4
   }
+
+  test("image decode (q66): a REAL PNG round trip — ImageIO.read of the " +
+    "encoded bytes reproduces every spec pixel, and the operator's " +
+    "decoded sums equal a direct spec recompute") {
+    import MultimodalQueries.ImageSpec
+    // pixel-exact round trip for a couple of ids (lossless RGB PNG)
+    for (id <- Seq(0L, 7L, 123L)) {
+      val png = ImageSpec.encodePng(id)
+      // it really is a PNG stream, not a fake container
+      assert((png.take(4).map(_ & 0xFF)).toSeq == Seq(0x89, 0x50, 0x4E, 0x47))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == ImageSpec.width(id) &&
+        img.getHeight == ImageSpec.height(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        val (r, g, b) = ImageSpec.rgb(id, x, y)
+        assert(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) == ((r, g, b)),
+          s"pixel drift at id=$id ($x,$y)")
+      }
+    }
+    // the operator's output equals the spec recompute on the fixture
+    val rows = MultimodalQueries.imageDecode(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h2) = (ImageSpec.width(id), ImageSpec.height(id))
+      assert(r.getInt(1) == w && r.getInt(2) == h2)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until h2; x <- 0 until w) {
+        val (rr, gg, bb) = ImageSpec.rgb(id, x, y)
+        rs += rr; gs += gg; bs += bb
+      }
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((rs, gs, bs)),
+        s"decoded sums drift for doc $id")
+    }
+  }
 }
