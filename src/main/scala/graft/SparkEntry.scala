@@ -61,7 +61,9 @@ object SparkEntry {
     "q54_pii_scrub" -> (TextQueries.piiScrub _),
     "q56_domain_mix" -> (TextQueries.domainMix _),
     "q57_perplexity" -> (TextQueries.perplexityFilter _),
+    "q67_perplexity_ref" -> (TextQueries.perplexityRef _),
     "q58_importance_resample" -> (TextQueries.importanceResample _),
+    "q68_dsir_ref" -> (TextQueries.importanceRef _),
     "q62_leakage_safe_split" -> (TextQueries.leakageSafeSplit _),
     "q59_decontaminate" -> (DedupQueries.decontaminate _),
     "q60_dup_clusters" -> (DedupQueries.dupClusters _),
@@ -1014,6 +1016,98 @@ object SparkEntry {
         |      ELSE ${meanE4Sql("pd", "logp_e4")}
         |      END AS mean_e4
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q67: the EXTERNAL-reference perplexity path — DuckDB trains the LM
+    // on the held-out RefSliceMod slice only and scores the rest with
+    // left-join smoothing (unseen bigram → (0+1)/(c1+V), unseen context
+    // → 1/V); V is the REFERENCE model's second-word vocabulary.
+    "q67_perplexity_ref" ->
+      s"""WITH wr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+        |    AS ws
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM wr),
+        |rm12 AS (SELECT g, count(*) AS c12 FROM gr
+        |  WHERE doc_id % ${TextQueries.RefSliceMod} = 0 GROUP BY g),
+        |rm1 AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+        |  FROM rm12 GROUP BY 1),
+        |rvv AS (
+        |  SELECT count(DISTINCT split_part(g, ' ', 2)) AS vsz FROM rm12),
+        |rpd AS (
+        |  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CAST(floor(ln((coalesce(rm12.c12, 0) + 1)::DOUBLE /
+        |      (coalesce(rm1.c1, 0) + rvv.vsz)::DOUBLE) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS logp_e4
+        |  FROM gr
+        |  LEFT JOIN rm12 ON rm12.g = gr.g
+        |  LEFT JOIN rm1 ON rm1.w1 = split_part(gr.g, ' ', 1), rvv
+        |  WHERE gr.doc_id % ${TextQueries.RefSliceMod} <> 0
+        |  GROUP BY gr.doc_id)
+        |SELECT doc_id, n_bigrams, logp_e4, mean_e4,
+        |  CASE WHEN n_bigrams = 0 THEN 'short'
+        |    WHEN mean_e4 >= ${TextQueries.PplHeadE4} THEN 'head'
+        |    WHEN mean_e4 >= ${TextQueries.PplTailE4} THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM (
+        |  SELECT d.doc_id,
+        |    coalesce(rpd.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(rpd.logp_e4, 0) AS logp_e4,
+        |    CASE WHEN coalesce(rpd.n_bigrams, 0) = 0 THEN 0
+        |      ELSE ${meanE4Sql("rpd", "logp_e4")}
+        |      END AS mean_e4
+        |  FROM documents d LEFT JOIN rpd ON rpd.doc_id = d.doc_id
+        |  WHERE d.doc_id % ${TextQueries.RefSliceMod} <> 0)
+        |ORDER BY doc_id""".stripMargin,
+    // q68: the EXTERNAL-target DSIR path — target counts from the
+    // held-out slice, source model from the scored remainder, V = source
+    // vocabulary (see importanceScoredWith scaladoc).
+    "q68_dsir_ref" ->
+      s"""WITH we AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+        |    AS ws
+        |  FROM documents),
+        |ge AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM we),
+        |sce AS (SELECT g, count(*) AS cs FROM ge
+        |  WHERE doc_id % ${TextQueries.RefSliceMod} <> 0 GROUP BY g),
+        |tce AS (SELECT g, count(*) AS ct FROM ge
+        |  WHERE doc_id % ${TextQueries.RefSliceMod} = 0 GROUP BY g),
+        |tote AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
+        |  CAST(count(*) AS BIGINT) AS v FROM sce),
+        |ttote AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt
+        |  FROM tce),
+        |mde AS (
+        |  SELECT sce.g, sce.cs, coalesce(tce.ct, 0) AS ct
+        |  FROM sce LEFT JOIN tce ON tce.g = sce.g),
+        |pde AS (
+        |  SELECT ge.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CAST(floor(ln(
+        |      ((mde.ct + 1) * (tote.ns + tote.v))::DOUBLE /
+        |      ((ttote.nt + tote.v) * (mde.cs + 1))::DOUBLE) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS logw_e4
+        |  FROM ge JOIN mde ON mde.g = ge.g, tote, ttote
+        |  WHERE ge.doc_id % ${TextQueries.RefSliceMod} <> 0
+        |  GROUP BY ge.doc_id)
+        |SELECT doc_id, n_bigrams, logw_e4, mean_e4,
+        |  CAST(CASE WHEN n_bigrams > 0 AND mean_e4 > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept
+        |FROM (
+        |  SELECT d.doc_id,
+        |    coalesce(pde.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(pde.logw_e4, 0) AS logw_e4,
+        |    CASE WHEN coalesce(pde.n_bigrams, 0) = 0 THEN 0
+        |      ELSE ${meanE4Sql("pde", "logw_e4")}
+        |      END AS mean_e4
+        |  FROM documents d LEFT JOIN pde ON pde.doc_id = d.doc_id
+        |  WHERE d.doc_id % ${TextQueries.RefSliceMod} <> 0)
         |ORDER BY doc_id""".stripMargin,
     // q61: the scrub re-derived — DuckDB recomputes the covered position
     // set from the SAME spanCtes fragment as q31 (no drift), anti-joins

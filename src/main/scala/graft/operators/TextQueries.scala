@@ -329,9 +329,9 @@ object TextQueries {
     * Wikipedia;
     * external data is off-limits here, so the model is trained on the
     * corpus itself (self-perplexity: tail = atypical-of-corpus text —
-    * gibberish, boilerplate soups; the filter semantics and the plan are
-    * unchanged if the counts table comes from a reference corpus instead,
-    * which is the one-line swap a production run would make).
+    * gibberish, boilerplate soups). The external-reference socket is
+    * [[perplexityScoredWith]], exercised end-to-end by q67
+    * ([[perplexityRef]]) with a held-out slice as the reference corpus.
     *
     * Determinism across engines: counts and V are exact integers; each
     * bigram occurrence contributes floor(10⁴·ln((c12+1)/(c1+V))) — ln of
@@ -389,6 +389,13 @@ object TextQueries {
           .cast("long").as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_e4"))
+    pplFinish(docs, perDoc)
+  }
+
+  /** The shared q57-family tail: per-doc nulls → zeros, the discretized
+    * mean, the head/middle/tail/short bucket rule.
+    */
+  private def pplFinish(docs: DataFrame, perDoc: DataFrame): DataFrame =
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -401,6 +408,70 @@ object TextQueries {
           .when(col("mean_e4") >= PplHeadE4, "head")
           .when(col("mean_e4") >= PplTailE4, "middle")
           .otherwise("tail"))
+
+  /** Bigram counts (g, c12) of a corpus — the model-table builder for the
+    * external-reference scoring paths ([[perplexityScoredWith]] /
+    * [[importanceScoredWith]]); partial-aggregable, never a driver-side
+    * model object.
+    */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(DedupQueries.wordGrams(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+
+  /** [[perplexityFilter]] against an EXTERNAL reference model: score
+    * `docs` under the add-one-smoothed bigram LM defined by `refCounts`
+    * (any (g: string, c12: long) table — a held-out slice, a curated
+    * reference corpus, yesterday's snapshot; CCNet scores against
+    * Wikipedia-trained KenLM, this is that input socket). Differences vs
+    * the self-trained fast path: a scored gram may be ABSENT from the
+    * model, so both count lookups are left joins — an unseen bigram
+    * smooths to (0+1)/(c1+V) and an unseen context to 1/V, which is the
+    * whole point of the smoothing. V is the model's second-word
+    * vocabulary, a property of the reference, not of the scored corpus.
+    *
+    * Scale shape unchanged: two gram-keyed joins against the counts
+    * table (broadcast when the model is small, shuffle otherwise), 1-row
+    * V broadcast, per-doc partial-aggregated BIGINT sums.
+    */
+  def perplexityScoredWith(docs: DataFrame, refCounts: DataFrame)
+      : DataFrame = {
+    val c12 = refCounts
+    val c1 = c12.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val vocab = c12.select(substring_index(col("g"), " ", -1).as("w2"))
+      .distinct().agg(count(lit(1)).as("vsz"))
+    val grams = docs.select(col("doc_id"),
+      explode(DedupQueries.wordGrams(col("text"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val perDoc = grams
+      .join(c12, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("vsz")).cast("double"))
+          * 10000).cast("long").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_e4"))
+    pplFinish(docs, perDoc)
+  }
+
+  /** Which doc_ids form the in-sandbox stand-in for an external reference
+    * corpus (q67/q68): every third document. The reference slice is
+    * HELD OUT — it trains the model and is not scored — so unseen-gram
+    * smoothing is actually exercised, the production shape.
+    */
+  val RefSliceMod = 3L
+
+  /** q67: [[perplexityScoredWith]] driven end-to-end — the reference
+    * slice trains the bigram LM, everything else is scored against it.
+    */
+  def perplexityRef(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isRef = col("doc_id") % RefSliceMod === 0
+    perplexityScoredWith(docs.filter(!isRef),
+      bigramCounts(docs.filter(isRef)))
+      .orderBy("doc_id")
   }
 
   /** Pre-multiply reduction modulus for the residue sampling rules (q56,
@@ -414,9 +485,9 @@ object TextQueries {
 
   /** The [[importanceResample]] target slice: DSIR needs a reference
     * distribution; in-sandbox (no external data) the designated target is
-    * the `lang = 'en'` slice of the corpus itself — swapping in counts
-    * from an external reference corpus changes one input table, not the
-    * plan.
+    * the `lang = 'en'` slice of the corpus itself. The external-reference
+    * socket is [[importanceScoredWith]] (any (g, ct) counts table),
+    * exercised end-to-end by q68 ([[importanceRef]]).
     */
   val DsirTargetLang = "en"
 
@@ -460,15 +531,31 @@ object TextQueries {
       dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
-    val grams = docs.select(col("doc_id"), col("lang"),
+    importanceScoredWith(docs.select("doc_id", "text"),
+      bigramCounts(docs.filter(col("lang") === DsirTargetLang))
+        .withColumnRenamed("c12", "ct"))
+  }
+
+  /** [[importanceResample]] against an EXTERNAL target model: `tgtCounts`
+    * is any (g: string, ct: long) bigram-count table standing for the
+    * target distribution (DSIR's reference corpus — in production, the
+    * high-quality corpus you want the pretraining mix to look like). The
+    * source model is still trained on the scored corpus itself (that IS
+    * the source distribution); target counts for grams the reference
+    * never saw smooth to ct = 0 through the existing left join, and V
+    * stays the SOURCE vocabulary (the feature space being reweighted —
+    * reference grams outside it are unreachable by any scored doc and
+    * only contribute to N_target).
+    */
+  def importanceScoredWith(docs: DataFrame, tgtCounts: DataFrame)
+      : DataFrame = {
+    val grams = docs.select(col("doc_id"),
       explode(DedupQueries.wordGrams(col("text"), 2)).as("g"))
     val srcC = grams.groupBy("g").agg(count(lit(1)).as("cs"))
-    val tgtC = grams.filter(col("lang") === DsirTargetLang)
-      .groupBy("g").agg(count(lit(1)).as("ct"))
-    // 1-row totals: N_source, V (distinct grams anywhere), N_target
+    // 1-row totals: N_source, V (distinct source grams), N_target
     val totals = srcC.agg(sum("cs").as("ns"), count(lit(1)).as("v"))
-    val tTot = tgtC.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-    val model = srcC.join(tgtC, Seq("g"), "left")
+    val tTot = tgtCounts.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    val model = srcC.join(tgtCounts, Seq("g"), "left")
       .select(col("g"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
     val perDoc = grams.join(model, "g")
       .crossJoin(broadcast(totals)).crossJoin(broadcast(tTot))
@@ -487,6 +574,18 @@ object TextQueries {
           .otherwise(floor(col("logw_e4") / col("n_bigrams")).cast("long")))
       .withColumn("kept",
         (col("n_bigrams") > 0 && col("mean_e4") > 0).cast("long"))
+  }
+
+  /** q68: [[importanceScoredWith]] driven end-to-end — the held-out
+    * [[RefSliceMod]] slice is the target reference corpus, everything
+    * else is reweighted toward it.
+    */
+  def importanceRef(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isRef = col("doc_id") % RefSliceMod === 0
+    importanceScoredWith(docs.filter(!isRef),
+      bigramCounts(docs.filter(isRef)).withColumnRenamed("c12", "ct"))
+      .orderBy("doc_id")
   }
 
   /** Per-mille boundaries for [[leakageSafeSplit]]: train < 800, val <

@@ -522,6 +522,96 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(4L) == ((4L, 0L, 0L, 0L, "short")))
   }
 
+  test("perplexity against an EXTERNAL reference model (q67 path): " +
+    "unseen-gram smoothing is exercised and hand-checked; scoring " +
+    "against the corpus's own counts reproduces the self-trained filter " +
+    "row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ref model: docs 0,3 (RefSliceMod slice); scored: 1,2,4
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), // ref
+      (1L, "the cat sat on the mat"), // scored, all grams seen
+      (2L, "the cat flew off quickly"), // scored, mixed seen/unseen
+      (3L, "a dog sat on a rug"), // ref
+      (4L, "zq xv qqj")) // scored, nothing seen
+    val d = java.nio.file.Files.createTempDirectory("pplref-fix").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+
+    val got = TextQueries.perplexityRef(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.map(_._1) == List(1L, 2L, 4L), "ref slice must be held out")
+
+    // hand recompute: model = bigrams of docs 0,3
+    val refGrams = Seq("the cat", "cat sat", "sat on", "on the", "the mat",
+      "a dog", "dog sat", "sat on", "on a", "a rug")
+    val c12 = refGrams.groupBy(identity).map { case (g, o) => g -> o.size }
+    val c1 = refGrams.groupBy(_.split(" ")(0))
+      .map { case (w, o) => w -> o.size }
+    val v = refGrams.map(_.split(" ")(1)).distinct.size // 8 second words
+    def lp(g: String) = {
+      val c = c12.getOrElse(g, 0)
+      val ctx = c1.getOrElse(g.split(" ")(0), 0)
+      math.floor(math.log((c + 1).toDouble / (ctx + v)) * 10000).toLong
+    }
+    def expect(text: String) = {
+      val gs = text.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+      (gs.size.toLong, gs.map(lp).sum)
+    }
+    assert(got(0)._2 -> got(0)._3 == expect("the cat sat on the mat"))
+    assert(got(1)._2 -> got(1)._3 == expect("the cat flew off quickly"))
+    // doc 4: every gram unseen, contexts unseen → each = floor(1e4·ln(1/V))
+    assert(got(2)._3 ==
+      2 * math.floor(math.log(1.0 / v) * 10000).toLong)
+
+    // degenerate check: external socket fed the corpus's own counts ≡ the
+    // self-trained fast path
+    val all = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaSocket = TextQueries
+      .perplexityScoredWith(all, TextQueries.bigramCounts(all))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val self = TextQueries.perplexityFilter(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSocket == self)
+  }
+
+  test("DSIR against an EXTERNAL target model (q68 path): docs matching " +
+    "the reference distribution are kept, mismatched docs dropped; " +
+    "feeding the lang-slice counts through the socket reproduces q58") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "good clean prose about cats good clean prose about cats"), // ref
+      (1L, "good clean prose about cats"), // scored: target-typical → kept
+      (2L, "zq xv qqj kkw zzl pfm zq xv"), // scored: off-target → dropped
+      (3L, "good clean prose about dogs"), // ref
+      (4L, "good clean zq xv")) // scored: mixed
+    val d = java.nio.file.Files.createTempDirectory("dsirref-fix").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextQueries.importanceRef(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), "ref slice must be held out")
+    assert(got(1L) == 1L, "target-typical doc must be kept")
+    assert(got(2L) == 0L, "off-target doc must be dropped")
+
+    // degenerate check: the q58 self path IS the socket fed the
+    // lang-slice counts (importanceScored delegates) — assert the public
+    // surfaces agree on the real table
+    val real = "/root/testdata/sf0.001"
+    val viaQuery = TextQueries.importanceResample(spark, real)
+      .collect().map(_.toSeq).toSeq
+    val realDocs = spark.read
+      .parquet(s"$real/documents.parquet")
+    val viaSocket = TextQueries.importanceScoredWith(
+      realDocs.select(col("doc_id"), col("text")),
+      TextQueries.bigramCounts(
+        realDocs.filter(col("lang") === TextQueries.DsirTargetLang))
+        .withColumnRenamed("c12", "ct"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaQuery == viaSocket)
+  }
+
   test("perplexity filter on the real table: buckets split the corpus at " +
     "the calibrated terciles and every score is reproducible") {
     val rows = TextQueries.perplexityFilter(spark, "/root/testdata/sf0.001")
