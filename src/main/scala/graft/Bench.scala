@@ -306,6 +306,14 @@ object Bench {
       results("codebook_train_sec") =
         time(graft.operators.Codebooks.trainAll(spark, sfDir))._2
     }
+    // likewise the memoized q21 pair derivation (shared by q21 + q60 —
+    // the materialize-the-capped-inverted-index production shape) is paid
+    // up front under its own key, so q21 times the presentation sort and
+    // q60 times pure label propagation
+    if (phase1.keys.exists(n => n.startsWith("q21") || n.startsWith("q60"))) {
+      results("edge_derive_sec") =
+        time { graft.operators.DedupQueries.jaccardPairs(spark, sfDir); () }._2
+    }
     phase1.foreach { case (name, fn) =>
       {
         // a failed query reports -1, NOT its (short) elapsed time — a

