@@ -83,6 +83,41 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("doc_id")
       .select("doc_id", "event_ts")
 
+  /** Exactly-once streaming sink into the resumable batch store: a
+    * `foreachBatch` function committing each micro-batch as ONE
+    * [[graft.store.SnapshotStore]] snapshot that carries its epoch id in
+    * the snapshot metrics. Closes the loop between the streaming surface
+    * and the store the batch crawl resumes from — a downstream batch
+    * consumer reads the stream's output through the same HEAD/manifest
+    * protocol as any crawl table.
+    *
+    * Idempotence contract: after a crash, Structured Streaming replays
+    * the last un-checkpointed micro-batch with the SAME epoch id. The
+    * sink reads the committed head's `epoch` metric and SKIPS any batch
+    * with id ≤ it, so a replay never double-writes; and because the
+    * store's commit is atomic (data → manifest ATOMIC_MOVE → HEAD swap),
+    * a crash MID-commit leaves HEAD at the parent and the replayed batch
+    * re-commits cleanly over the orphaned data dir. Together: each epoch
+    * lands in the store exactly once (StreamOpsSpec kill-and-resume).
+    *
+    * Usage:
+    * {{{
+    * out.writeStream
+    *   .option("checkpointLocation", ckpt)
+    *   .foreachBatch(StreamOps.snapshotSink(store, "alerts"))
+    *   .start()
+    * }}}
+    */
+  def snapshotSink(store: graft.store.SnapshotStore, table: String)
+      : (DataFrame, Long) => Unit = { (batch, epochId) =>
+    val committed = store.head.flatMap(_.metrics.get("epoch")).getOrElse(-1L)
+    if (epochId > committed) {
+      store.commitWith(epochId.toInt, Seq(table -> batch),
+        written => Map("epoch" -> epochId,
+          "rows" -> written.values.map(store.rowCount).sum))
+    }
+  }
+
   /** Per-host running fetch budget over the stream — an update-mode
     * aggregation keyed by host, the streaming analogue of the politeness
     * scheduler's per-host accounting (A5).

@@ -249,6 +249,57 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("snapshot sink: every micro-batch commits exactly one store " +
+    "snapshot carrying its epoch id; kill-and-resume from the same " +
+    "checkpoint restores dedup state and never double-writes; a " +
+    "replayed epoch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snap-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snap-ckpt").toString
+    val store = new graft.store.SnapshotStore(root, spark)
+    val input = MemoryStream[UrlEvent]
+    val sink = StreamOps.snapshotSink(store, "deduped")
+    def start() = StreamOps.streamingUrlDedup(input.toDF())
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch(sink).start()
+
+    val q = start()
+    try {
+      input.addData(UrlEvent(1L, ts(0)), UrlEvent(2L, ts(1)))
+      q.processAllAvailable()
+    } finally q.stop() // kill
+
+    val q2 = start() // resume from the same checkpoint
+    try {
+      // url 2 was seen BEFORE the kill — state must come back from the
+      // checkpoint and drop it; url 3 is new
+      input.addData(UrlEvent(2L, ts(2)), UrlEvent(3L, ts(2)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // exactly-once: the union over ALL committed snapshots is the dedup
+    // output with no row duplicated across epochs
+    val snaps = store.snapshots
+    val all = snaps.flatMap(id =>
+      store.table(store.readManifest(id), "deduped")
+        .map(_.collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty))
+    assert(all.sorted == Seq(1L, 2L, 3L), s"snapshot union was $all")
+    val epochs = snaps.map(id => store.readManifest(id).metrics("epoch"))
+    assert(epochs == epochs.sorted && epochs.distinct == epochs,
+      s"epochs must be strictly increasing, got $epochs")
+
+    // post-crash replay: Structured Streaming re-invokes foreachBatch
+    // with the SAME epoch id — the sink must skip it
+    val before = store.snapshots.size
+    sink(Seq(9L).toDF("url_hash"), epochs.last)
+    assert(store.snapshots.size == before, "replayed epoch double-wrote")
+    sink(Seq(9L).toDF("url_hash"), epochs.last + 1)
+    assert(store.snapshots.size == before + 1, "a NEW epoch must commit")
+    assert(store.head.get.metrics("epoch") == epochs.last + 1)
+  }
+
   test("host budget accounting tracks per-host per-window fetch counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
