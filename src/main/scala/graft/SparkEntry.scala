@@ -144,15 +144,24 @@ object SparkEntry {
   private def ivfLloydCtes: String = {
     val k = graft.operators.Codebooks.IvfCells
     val iters = graft.operators.Codebooks.IvfIters
+    // voting set mirror: Spark's trainIvf excludes ragged/null-element
+    // vectors from voting via cosE4(v,v).isNotNull; DuckDB's list_sum
+    // SKIPS null lanes (it would let an invalid vector vote), so the
+    // oracle needs the explicit validity predicate. Latent with the
+    // all-valid testdata, required for the mirror to hold on any table.
     val init =
-      s"""cents0 AS (
+      s"""embv AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64),
+         |cents0 AS (
          |  SELECT j, list_transform(range(0, 64),
          |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
          |  FROM generate_series(0, ${k - 1}) t(j))""".stripMargin
     val steps = (0 until iters).map { n =>
       s"""cos$n AS (
          |  SELECT e.vec_id, t.j, ${ce4Sql("e.embedding", "t.c")} AS ce4
-         |  FROM embeddings e, cents$n t),
+         |  FROM embv e, cents$n t),
          |asn$n AS (
          |  SELECT vec_id, j AS cell FROM (
          |    SELECT vec_id, j,
@@ -163,7 +172,7 @@ object SparkEntry {
          |    SUM(CAST(floor(e.embedding[li.i+1]::DOUBLE * 1048576.0)
          |      AS BIGINT)) AS s,
          |    COUNT(*) AS n
-         |  FROM embeddings e JOIN asn$n a USING (vec_id),
+         |  FROM embv e JOIN asn$n a USING (vec_id),
          |    generate_series(0, 63) li(i)
          |  GROUP BY 1, 2),
          |cents${n + 1} AS (
@@ -195,20 +204,28 @@ object SparkEntry {
     */
   private def pqLloydCtes: String = {
     val iters = graft.operators.Codebooks.PqIters
+    // voting-set mirror, as in [[ivfLloydCtes]]: Spark's trainPq excludes
+    // invalid vectors via `codes.isNotNull`; the oracle needs the same
+    // validity predicate or list_sum's null-skipping would let them vote.
     val init =
-      """pcents0 AS (
+      """embvp AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64),
+        |pcents0 AS (
         |  SELECT s, k, list_transform(range(0, 4),
         |    i -> (((s*128 + k*8 + i)*2654435761) % 2003 - 1001) / 1024.0)
         |    AS c
         |  FROM generate_series(0, 15) t1(s), generate_series(0, 15) t2(k))"""
         .stripMargin
-    def dist(src: String, name: String, corpusOnly: Boolean) =
+    def dist(src: String, name: String, corpusOnly: Boolean,
+        table: String = "embvp") =
       s"""$name AS (
          |  SELECT e.vec_id, t.s, t.k,
          |    list_sum(list_transform(range(1, 5),
          |      i -> (e.embedding[(t.s*4)+i]::DOUBLE - t.c[i]) *
          |           (e.embedding[(t.s*4)+i]::DOUBLE - t.c[i]))) AS d
-         |  FROM embeddings e, $src t${if (corpusOnly) " WHERE e.vec_id <> 0"
+         |  FROM $table e, $src t${if (corpusOnly) " WHERE e.vec_id <> 0"
       else ""})""".stripMargin
     def asn(src: String, name: String) =
       s"""$name AS (
@@ -224,7 +241,7 @@ object SparkEntry {
            |    SUM(CAST(floor(e.embedding[a.s*4+li.i+1]::DOUBLE * 1048576.0)
            |      AS BIGINT)) AS sm,
            |    COUNT(*) AS n
-           |  FROM embeddings e JOIN pasn$n a USING (vec_id),
+           |  FROM embvp e JOIN pasn$n a USING (vec_id),
            |    generate_series(0, 3) li(i)
            |  GROUP BY 1, 2, 3),
            |pcents${n + 1} AS (
@@ -239,7 +256,9 @@ object SparkEntry {
            |    AND ps.i = g.i
            |  GROUP BY g.s, g.k)""".stripMargin).mkString(",\n")
     }
-    val fin = Seq(dist(s"pcents$iters", "pdistF", corpusOnly = true),
+    val fin = Seq(
+      dist(s"pcents$iters", "pdistF", corpusOnly = true,
+        table = "embeddings"), // final encode covers ALL corpus rows
       asn("pdistF", "pasnF")).mkString(",\n")
     (init +: steps :+ fin).mkString(",\n")
   }

@@ -149,7 +149,23 @@ object GraftExtensions {
     CosineE4(children(0), children(1))
   }
 
-  /** pq_cos_e4(codes, q) */
+  /** pq_cos_e4(codes, q).
+    *
+    * CODEBOOK CONTRACT: the SQL-registered `pq_codes`/`pq_cos_e4` pair
+    * binds the deterministic INIT codebook
+    * ([[VecKernels.pqInitCodebook]]) on BOTH sides, so codes encoded and
+    * scored through SQL are always self-consistent. The q55 DataFrame
+    * path binds the [[graft.operators.Codebooks]]-TRAINED codebook on
+    * both of its sides instead. The two surfaces must never be mixed in
+    * one query: codes from one scored by the other are silently wrong
+    * (ADC is meaningless under a different codebook). There is no SQL
+    * access to the trained codebook by design — a session-trained
+    * artifact has no stable SQL identity; pass it explicitly through the
+    * DataFrame API ([[graft.operators.SimilarityQueries.pqCodesCol]] /
+    * `pqCosCol`), which takes the codebook as a parameter so encode and
+    * score share one value by construction. VecExpressionsSpec pins the
+    * SQL pair's self-consistency and the cross-surface mismatch.
+    */
   def pqCosBuilder(children: Seq[Expression]): Expression = {
     arity("pq_cos_e4", children, 2, 2)
     PqCosE4(children(0), children(1))

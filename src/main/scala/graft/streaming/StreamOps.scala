@@ -66,15 +66,22 @@ object StreamOps {
     * set by construction — the spec proves it on the same doc log.
     * `benchGrams` must carry a `g` string column (one row per distinct
     * benchmark shingle — eval-suite sized, broadcastable). Benchmark-
-    * slice docs arriving on the stream are excluded HERE (the q59 rule:
-    * a benchmark doc is never "contaminated" by itself), so the operator
-    * enforces its own contract rather than assuming a pre-filtered feed.
+    * membership docs arriving on the stream are excluded HERE (the q59
+    * rule: a benchmark doc is never "contaminated" by itself), so the
+    * operator enforces its own contract rather than assuming a
+    * pre-filtered feed — and the membership PREDICATE travels with the
+    * benchmark source: `isBenchmark` defaults to the in-sandbox mod-slice
+    * rule, but a caller feeding a real external gram table passes the
+    * matching membership test (e.g. an `is_benchmark` column or an id
+    * set), otherwise every mod-slice doc would be silently exempt from
+    * alerts against a benchmark it is not part of.
     */
   def streamingContaminationAlerts(docs: DataFrame, benchGrams: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      isBenchmark: Column = col("doc_id") %
+        graft.operators.DedupQueries.DecontamBenchMod === 0): DataFrame =
     docs
-      .filter(col("doc_id") %
-        graft.operators.DedupQueries.DecontamBenchMod =!= 0)
+      .filter(!isBenchmark)
       .withWatermark("event_ts", watermark)
       .select(col("doc_id"), col("event_ts"),
         explode(graft.operators.DedupQueries.shingles(col("text"),

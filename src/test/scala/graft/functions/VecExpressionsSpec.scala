@@ -181,6 +181,43 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r.isNullAt(0) && r.getLong(0) > 0 && r.getLong(0) <= 10000)
   }
 
+  test("pq codebook contract: the SQL pair is init-codebook on BOTH sides " +
+    "(≡ the DataFrame init path), and MIXING surfaces — codes from a " +
+    "trained-style codebook scored by SQL pq_cos_e4 — visibly mismatches " +
+    "(the hazard the GraftExtensions scaladoc forbids)") {
+    import spark.implicits._
+    emb.createOrReplaceTempView("epqc")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].collect()(0)
+    // SQL pair ≡ DataFrame init-codebook pair, row for row
+    val viaSql = spark.sql(
+      """SELECT vec_id, pq_cos_e4(pq_codes(embedding),
+        |  (SELECT embedding FROM epqc WHERE vec_id = 0)) AS adc
+        |FROM epqc""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = emb.select(col("vec_id"),
+        SimilarityQueries.pqCosCol(
+          SimilarityQueries.pqCodesCol(col("embedding")), typedlit(q))
+          .as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDf)
+    // cross-surface mixing: encode with a DIFFERENT (trained-style)
+    // codebook, score through the init-codebook SQL kernel → wrong
+    val cb2 = VecKernels.pqInitCodebook.map(x => x * 0.5 + 0.125)
+    val mixed = emb.select(col("vec_id"),
+        SimilarityQueries.pqCosCol(
+          SimilarityQueries.pqCodesCol(col("embedding"), cb2), typedlit(q))
+          .as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val consistent = emb.select(col("vec_id"),
+        SimilarityQueries.pqCosCol(
+          SimilarityQueries.pqCodesCol(col("embedding"), cb2), typedlit(q),
+          cb2).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed != consistent,
+      "mixed-surface scores should differ from the consistent pairing")
+  }
+
   test("SQL builders reject wrong arity at analysis time (named error, " +
     "not IndexOutOfBounds) — and accept the correct arity") {
     emb.createOrReplaceTempView("e3")

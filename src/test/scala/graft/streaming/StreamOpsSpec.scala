@@ -249,6 +249,38 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("contamination alerts with an EXTERNAL benchmark: the membership " +
+    "predicate travels with the gram source — a doc on the default " +
+    "mod-slice is NOT exempt when the benchmark is external") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // external benchmark grams: NOT derived from the corpus mod slice
+    val benchText = (1 to 30).map(i => s"b$i").mkString(" ")
+    val benchGrams = Seq(benchText).toDF("text")
+      .select(explode(graft.operators.DedupQueries.shingles(col("text"),
+        graft.operators.DedupQueries.DecontamN)).as("g")).distinct()
+    val input = MemoryStream[DocEvent]
+    // external benchmark → nothing on the stream is a benchmark member
+    val q = StreamOps.streamingContaminationAlerts(input.toDF(), benchGrams,
+        isBenchmark = lit(false))
+      .writeStream.format("memory").queryName("decon_ext_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // doc 20: ON the default mod-20 slice — under the hard-coded rule
+        // it would be silently exempt; against an external benchmark it
+        // must alert
+        DocEvent(20L, (1 to 13).map(i => s"b$i").mkString(" ") + " tail",
+          ts(0)),
+        DocEvent(21L, (1 to 20).map(i => s"q$i").mkString(" "), ts(0)))
+      q.processAllAvailable()
+      val alerts = spark.table("decon_ext_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(alerts == Set(20L))
+    } finally q.stop()
+  }
+
   test("snapshot sink: every micro-batch commits exactly one store " +
     "snapshot carrying its epoch id; kill-and-resume from the same " +
     "checkpoint restores dedup state and never double-writes; a " +
