@@ -91,8 +91,15 @@ object Bench {
     "q61_dup_span_scrub" -> 3.0, "q62_leakage_safe_split" -> 2.0,
     // q63 composes six stage DAGs (gopher/dedup/span/ppl/dsir/decon)
     "q63_curation_pipeline" -> 5.0,
-    // q60 re-derives the q21 edges then runs 3-4 propagation rounds
-    "q60_dup_clusters" -> 10.0,
+    // r5: q21 times only the presentation sort and q60 only propagation —
+    // the shared pair derivation is paid under edge_derive_sec
+    "q60_dup_clusters" -> 6.0,
+    // r5 additions: k-NN joins (probe join + WindowGroupLimit), real PNG
+    // decode, external-reference ppl/DSIR (same shape as q57/q58 + two
+    // left joins)
+    "q64_knn_join_ivf" -> 3.0, "q65_knn_join_lsh" -> 2.0,
+    "q66_image_decode" -> 3.0, "q67_perplexity_ref" -> 3.0,
+    "q68_dsir_ref" -> 3.0,
     // r4: 12/32 trained probe cells rerank ~37% of the corpus (vs 4/16
     // untrained before) — recall bought with probe fraction, see
     // SimilarityQueries.IvfProbes
