@@ -510,23 +510,42 @@ object DedupQueries {
     decontamScored(s, dir).orderBy("doc_id")
 
   /** [[decontaminate]] without the presentation sort — shared with the
-    * q63 pipeline.
+    * q63 pipeline. In-sandbox wiring of [[decontaminateWith]]: the
+    * benchmark is the [[DecontamBenchMod]] slice of the corpus itself,
+    * so grams AND membership both come from the mod rule.
     */
   private[operators] def decontamScored(s: SparkSession,
       dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text"), DecontamN).as("sh"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val isBench = col("doc_id") % DecontamBenchMod === 0
     val benchGrams = docs.filter(isBench)
-      .select(explode(col("sh")).as("g")).distinct()
-    val hits = docs.filter(!isBench)
+      .select(explode(shingles(col("text"), DecontamN)).as("g")).distinct()
+    decontaminateWith(docs, benchGrams, isBench)
+  }
+
+  /** The q59 operator against an EXTERNAL benchmark: `benchGrams` is any
+    * (g: string) table of distinct benchmark [[DecontamN]]-gram shingles
+    * (the eval suites a production run guards), and `isBenchmark` is the
+    * matching membership predicate over the scored docs — the two MUST
+    * travel together (with a real external benchmark the predicate is
+    * `lit(false)` unless benchmark docs also flow through the corpus;
+    * leaving the in-sandbox mod rule in place would silently exempt
+    * every 20th doc from a benchmark it is not part of — the same
+    * contract as [[graft.streaming.StreamOps.streamingContaminationAlerts]]).
+    */
+  def decontaminateWith(docs: DataFrame, benchGrams: DataFrame,
+      isBenchmark: Column): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), DecontamN).as("sh"),
+      isBenchmark.cast("long").as("is_benchmark"))
+    val hits = sh.filter(col("is_benchmark") === 0)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(benchGrams, "g") // shingles are per-doc distinct → count = hits
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    docs
+    sh
       .select(col("doc_id"),
         coalesce(size(col("sh")), lit(0)).cast("long").as("n_shingles"),
-        isBench.cast("long").as("is_benchmark"))
+        col("is_benchmark"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("contaminated",

@@ -720,6 +720,30 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._4 == 1L && got(3L)._4 == 0L && got(0L)._4 == 0L)
   }
 
+  test("decontamination against an EXTERNAL benchmark (decontaminateWith): " +
+    "grams and membership travel together — a doc on the in-sandbox mod " +
+    "slice is flagged, not exempt, when the benchmark is external") {
+    import spark.implicits._
+    val n = graft.operators.DedupQueries.DecontamN
+    val benchText = (1 to 30).map(i => s"b$i").mkString(" ")
+    val benchGrams = Seq(benchText).toDF("text")
+      .select(explode(DedupQueries.shingles(col("text"), n)).as("g"))
+      .distinct()
+    val docs = Seq(
+      // doc 20 sits ON the mod-20 slice; against an external benchmark it
+      // is an ordinary training doc and must be flagged for its 13-token
+      // overlap
+      (20L, (1 to 13).map(i => s"b$i").mkString(" ") + " own tail here"),
+      (21L, (1 to 20).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DedupQueries
+      .decontaminateWith(docs, benchGrams, lit(false))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3) /* hits */, r.getLong(4) /* contaminated */)).toMap
+    assert(out(20L) == ((1L, 1L)), s"mod-slice doc must be flagged: $out")
+    assert(out(21L) == ((0L, 0L)))
+  }
+
   test("dup clusters: transitive chain merges into ONE component labeled " +
     "by its min doc_id even though the endpoints share no pair edge; " +
     "disconnected docs stay singletons") {

@@ -249,6 +249,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"window in the curation plan:\n$p")
   }
 
+  test("external-reference ppl/DSIR (q67/q68): same plan discipline as " +
+    "the self-trained paths — model lookups are equi-joins (left joins " +
+    "for the smoothing), the only nested-loop joins are 1-row " +
+    "broadcasts, no UDF, no window") {
+    for (df <- Seq(graft.operators.TextQueries.perplexityRef(spark, dir),
+      graft.operators.TextQueries.importanceRef(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("ScalaUDF"), s"UDF in the ref-model path:\n$p")
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("Window \\["),
+        s"window in the ref-model path:\n$p")
+    }
+  }
+
   test("k-NN join (q64/q65): probe equi-join — never cartesian — and the " +
     "per-query top-k plans as WindowGroupLimit (map-side k rows per query " +
     "BEFORE the shuffle), not a full window sort over all candidates") {
