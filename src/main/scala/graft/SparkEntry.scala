@@ -116,6 +116,22 @@ object SparkEntry {
     s"($j, $signs)"
   }.mkString(", ")
 
+  /** Valid-vector corpus scan for the ANN/near-dup oracles: Spark's
+    * vector kernels return NULL for ragged/null-element vectors (the
+    * row then sorts last / fails every threshold and never enters a
+    * top-k or pair set), while DuckDB's `list_sum` SKIPS null lanes and
+    * would hand the same vector a real score — so every oracle scan
+    * that feeds a score into a candidate set reads this CTE instead of
+    * raw `embeddings`. Latent with the all-valid testdata; keeps the
+    * mirrors honest on any table.
+    */
+  private val vembCte: String =
+    """vemb AS (
+      |  SELECT * FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |    AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64)"""
+      .stripMargin
+
   /** floor(10⁴·cosine) of 64-lane list exprs `e`, `c` — the index-order
     * list fold every cosine oracle uses. Both sides are lane-cast to
     * DOUBLE (a no-op for DOUBLE lists, and it keeps REAL-typed parquet
@@ -185,10 +201,17 @@ object SparkEntry {
          |  LEFT JOIN sums$n s ON s.j = g.j AND s.i = g.i
          |  GROUP BY g.j)""".stripMargin
     }
+    // cosF/asnF over embv too: Spark's kernels null the score of an
+    // invalid vector (it sorts last and never enters a top-k), while
+    // DuckDB's null-skipping list_sum would hand it a REAL score and a
+    // cell — restricting the oracle's candidate universe to valid
+    // vectors mirrors the kernel-side exclusion (q52's full-output
+    // LEFT JOIN re-attaches invalid rows with Spark's deterministic
+    // all-null-sort cell 0)
     val fin =
       s"""cosF AS (
          |  SELECT e.vec_id, t.j, ${ce4Sql("e.embedding", "t.c")} AS ce4
-         |  FROM embeddings e, cents$iters t),
+         |  FROM embv e, cents$iters t),
          |asnF AS (
          |  SELECT vec_id, j AS cell FROM (
          |    SELECT vec_id, j,
@@ -256,9 +279,11 @@ object SparkEntry {
            |    AND ps.i = g.i
            |  GROUP BY g.s, g.k)""".stripMargin).mkString(",\n")
     }
+    // final encode over embvp as well: Spark's PqCodes nulls invalid
+    // vectors (null ADC sorts last, never reaching the rerank) — the
+    // oracle mirrors by excluding them from the candidate universe
     val fin = Seq(
-      dist(s"pcents$iters", "pdistF", corpusOnly = true,
-        table = "embeddings"), // final encode covers ALL corpus rows
+      dist(s"pcents$iters", "pdistF", corpusOnly = true),
       asn("pdistF", "pasnF")).mkString(",\n")
     (init +: steps :+ fin).mkString(",\n")
   }
@@ -482,12 +507,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_lsh" ->
-      s"""WITH lanes(j, signs) AS (VALUES $q26LanesValues),
+      s"""WITH $vembCte,
+        |lanes(j, signs) AS (VALUES $q26LanesValues),
         |dots AS (
         |  SELECT e.vec_id, l.j,
         |    list_sum(list_transform(range(1,65),
         |      i -> e.embedding[i]::DOUBLE * l.signs[i])) AS d
-        |  FROM embeddings e, lanes l),
+        |  FROM vemb e, lanes l),
         |buckets AS (
         |  SELECT vec_id,
         |    CAST(sum(CASE WHEN d > 0 THEN 1<<j ELSE 0 END) AS BIGINT) AS bucket
@@ -731,13 +757,20 @@ object SparkEntry {
     // avoids — which makes it a fully independent twin); tokenization is
     // the q21 house form regexp_split_to_array(trim(lower(text)), '\s+'),
     // and length() is codepoints on both engines. CTEs shared with q53.
+    // null-text docs: the Spark kernel null-propagates (stats and keep
+    // are NULL — the diagnostic view reports "unknown", while the q53
+    // FUNNEL fails such docs closed), so the oracle's zero-coalescing is
+    // gated on ws being present
     "q30_gopher_quality" ->
       s"""WITH $gopherCtes
         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(dup.d, 0) AS BIGINT) AS dup_token_positions,
-        |  CAST(coalesce(topbi.tb, 0) AS BIGINT) AS top_bigram_score,
-        |  CAST(coalesce(cov.cv, 0) AS BIGINT) AS dup_trigram_coverage,
-        |  $gopherKeepSql AS keep
+        |  CAST(CASE WHEN ws IS NULL THEN NULL
+        |    ELSE coalesce(dup.d, 0) END AS BIGINT) AS dup_token_positions,
+        |  CAST(CASE WHEN ws IS NULL THEN NULL
+        |    ELSE coalesce(topbi.tb, 0) END AS BIGINT) AS top_bigram_score,
+        |  CAST(CASE WHEN ws IS NULL THEN NULL
+        |    ELSE coalesce(cov.cv, 0) END AS BIGINT) AS dup_trigram_coverage,
+        |  CASE WHEN ws IS NULL THEN NULL ELSE $gopherKeepSql END AS keep
         |FROM w LEFT JOIN dup USING (doc_id) LEFT JOIN topbi USING (doc_id)
         |  LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
@@ -859,21 +892,23 @@ object SparkEntry {
         |FROM dq LEFT JOIN hv ON hv.doc_id = dq.doc_id
         |ORDER BY dq.doc_id""".stripMargin,
     "q24_embed_neardup" ->
-      """WITH p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH $vembCte,
+        |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_sum(list_transform(range(1,65),
         |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dp,
         |  sqrt(list_sum(list_transform(range(1,65),
         |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) AS na,
         |  sqrt(list_sum(list_transform(range(1,65),
         |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) AS nb
-        |  FROM embeddings a JOIN embeddings b
+        |  FROM vemb a JOIN vemb b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT label, vec_a, vec_b,
         |  CAST(floor(dp/(na*nb)*10000) AS BIGINT) AS cos_e4
         |FROM p WHERE CAST(floor(dp/(na*nb)*10000) AS BIGINT) >= 3000
         |ORDER BY label, vec_a, vec_b""".stripMargin,
     "q25_ann_brute" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      s"""WITH $vembCte,
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, CAST(floor(
         |  list_sum(list_transform(range(1,65),
         |    i -> embedding[i]::DOUBLE * qe[i]::DOUBLE)) /
@@ -882,7 +917,7 @@ object SparkEntry {
         |   sqrt(list_sum(list_transform(range(1,65),
         |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) * 10000) AS BIGINT)
         |  AS cos_e4
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM vemb, q WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
     // q51: the DuckDB side recomputes the IVF pipeline end-to-end and
     // independently of Spark — it re-RUNS the deterministic Lloyd
@@ -940,12 +975,13 @@ object SparkEntry {
     // table; one bucket per corpus vector, 9 distinct probe buckets per
     // query, so no pair duplication here either).
     "q65_knn_join_lsh" ->
-      s"""WITH lanes(j, signs) AS (VALUES $q26LanesValues),
+      s"""WITH $vembCte,
+        |lanes(j, signs) AS (VALUES $q26LanesValues),
         |dots AS (
         |  SELECT e.vec_id, l.j,
         |    list_sum(list_transform(range(1,65),
         |      i -> e.embedding[i]::DOUBLE * l.signs[i])) AS d
-        |  FROM embeddings e, lanes l),
+        |  FROM vemb e, lanes l),
         |buckets AS (
         |  SELECT vec_id,
         |    CAST(sum(CASE WHEN d > 0 THEN 1<<j ELSE 0 END) AS BIGINT)
@@ -1185,7 +1221,8 @@ object SparkEntry {
         |      * 2654435761) % 1000 <
         |      ${TextQueries.SplitValPermille} THEN 'val'
         |    ELSE 'test' END AS split
-        |FROM documents d JOIN reps r ON r.text = d.text
+        |FROM documents d
+        |JOIN reps r ON r.text IS NOT DISTINCT FROM d.text
         |ORDER BY d.doc_id""".stripMargin,
     // q52: DuckDB recomputes the SemDeDup pipeline independently — it
     // re-RUNS the same deterministic Lloyd training as q51's oracle
@@ -1203,7 +1240,9 @@ object SparkEntry {
         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE ${ce4Sql("a.embedding", "b.embedding")} >=
         |    ${SimilarityQueries.SemDedupTau})
-        |SELECT e.vec_id, e.label, e.cell FROM emb2 e
+        |SELECT e.vec_id, e.label, CAST(coalesce(a.cell, 0) AS BIGINT)
+        |  AS cell
+        |FROM embeddings e LEFT JOIN asnF a ON a.vec_id = e.vec_id
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
         |ORDER BY e.vec_id""".stripMargin,
     "q29_numeric_sort" ->
@@ -1343,11 +1382,14 @@ object SparkEntry {
         |FROM u ORDER BY year, ord""").stripMargin,
     "q27_media_features" ->
       """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT)
+        |   AS n_bytes,
         | CAST(16 + abs(doc_id*2654435761) % 1024 AS INT) AS width,
         | CAST(16 + abs(doc_id*40503) % 1024 AS INT) AS height,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS hist_total,
-        | CAST(CASE WHEN octet_length(encode(text))//64 = 0 THEN 0
+        | CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT)
+        |   AS hist_total,
+        | CAST(CASE WHEN coalesce(octet_length(encode(text)), 0)//64 = 0
+        |   THEN 0
         |   ELSE (octet_length(encode(text))//64 + 3) // 4 END AS BIGINT)
         |   AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -121,11 +121,13 @@ object Codebooks {
     for (_ <- 0 until IvfIters) {
       // ragged/null-element vectors don't vote: ivfCell itself never
       // returns null (an all-null cosine struct array still sorts and
-      // yields a j), so the guard must be the kernel's own validity
-      // predicate — cosE4(v,v) is null exactly for ragged/null-element v
+      // yields a j), and a SELF-cosine guard is not enough either — the
+      // kernel only checks that its two inputs match in length, so a
+      // ragged vector scores against itself just fine and would vote
+      // its few lanes into a centroid. The guard is the explicit
+      // validity predicate the DuckDB oracle CTEs (embv) mirror.
       val lanes = emb
-        .filter(SimilarityQueries.cosE4(col("embedding"), col("embedding"))
-          .isNotNull)
+        .filter(SimilarityQueries.validVec(col("embedding")))
         .select(SimilarityQueries.ivfCell(col("embedding"), cents).as("cell"),
           posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))

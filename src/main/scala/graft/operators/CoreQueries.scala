@@ -23,27 +23,30 @@ object CoreQueries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Cheap table-version fingerprint (max file mtime + total bytes of the
-    * parquet dir) — the cache key component that invalidates the
-    * per-table memoizations ([[Codebooks]], the q21/q60 shared edge set)
-    * when a table at the same path is rewritten within a session. The
-    * local-FS stand-in for a real table format's snapshot id.
+  /** Cheap table-version fingerprint — the cache key component that
+    * invalidates the per-table memoizations ([[Codebooks]], the q21/q60
+    * shared edge set) when a table at the same path is rewritten within
+    * a session. Hashes every file's (name, size, mtime): Spark part
+    * files carry a fresh task UUID in their NAME on every write, so two
+    * rewrites are distinguished even when they land in the same
+    * filesystem mtime tick with identical byte totals (mtime+bytes
+    * alone misses that). The local-FS stand-in for a real table
+    * format's snapshot id.
     */
   def tableVersion(dir: String, name: String): String = {
     val p = java.nio.file.Paths.get(dir, s"$name.parquet")
     if (!java.nio.file.Files.exists(p)) "absent"
     else {
-      var mtime = 0L
-      var bytes = 0L
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       val st = java.nio.file.Files.walk(p)
       try st.forEach { f =>
         if (java.nio.file.Files.isRegularFile(f)) {
-          mtime = math.max(mtime,
-            java.nio.file.Files.getLastModifiedTime(f).toMillis)
-          bytes += java.nio.file.Files.size(f)
+          entries += s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis
         }
       } finally st.close()
-      s"$mtime:$bytes"
+      java.lang.Long.toHexString(entries.sorted.mkString("\n").hashCode
+        .toLong & 0xFFFFFFFFL) + s":${entries.size}"
     }
   }
 
@@ -231,10 +234,15 @@ object CoreQueries {
     */
   def filterDiagnostics(s: SparkSession, dir: String): DataFrame = {
     val blockedPred = col("text").contains("skew")
+    // kept is the CASE-ELSE complement of blocked, NOT `!blockedPred`:
+    // a null-text doc has a NULL predicate, and when(!null, 1).otherwise(0)
+    // would count it in NEITHER bucket — breaking total = blocked + kept.
+    // Not-blocked-therefore-kept is the accounting the reference's
+    // diagnostics print and the oracle's CASE mirrors.
     t(s, dir, "documents")
       .agg(count(lit(1)).as("total"),
         sum(when(blockedPred, 1L).otherwise(0L)).as("blocked"),
-        sum(when(!blockedPred, 1L).otherwise(0L)).as("kept"))
+        sum(when(blockedPred, 0L).otherwise(1L)).as("kept"))
   }
 
   /** The per-doc search variants (E11) and the Atom API index — the S4

@@ -101,8 +101,11 @@ object DedupQueries {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
+  // one live entry per (application, dir): the superseded version's
+  // checkpoint blocks are unpersisted on replacement, so rewriting a
+  // table N times in one session holds ONE pair set, not N
   private val pairsCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
 
   /** The q21 pair set WITHOUT the presentation sort, MATERIALIZED once
     * per (session, table version) — q21 and q60 share one derivation
@@ -118,10 +121,18 @@ object DedupQueries {
     * front under its own `edge_derive_sec` key.
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(
-      s"${s.sparkContext.applicationId}|$dir@" +
-        CoreQueries.tableVersion(dir, "documents"),
-      jaccardPairsFresh(s, dir).localCheckpoint())
+    pairsCache.synchronized {
+      val key = s"${s.sparkContext.applicationId}|$dir"
+      val version = CoreQueries.tableVersion(dir, "documents")
+      pairsCache.get(key) match {
+        case Some((v, df)) if v == version => df
+        case stale =>
+          stale.foreach(_._2.unpersist(blocking = false))
+          val df = jaccardPairsFresh(s, dir).localCheckpoint()
+          pairsCache.put(key, (version, df))
+          df
+      }
+    }
 
   /** The q21 derivation plan (un-memoized) — see [[ngramJaccard]] for the
     * algorithm and [[jaccardPairs]] for the materialization discipline.

@@ -67,7 +67,11 @@ object MultimodalQueries {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (once, not per row)
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          // a NULL blob (failed fetch / missing media) is a zero-byte
+          // payload: the row keeps its metadata, features are empty —
+          // the oracle coalesces octet_length the same way
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           MediaRow(id, bytes.length.toLong,
             width = 16 + (math.abs(id * 2654435761L) % 1024).toInt,
             height = 16 + (math.abs(id * 40503L) % 1024).toInt,

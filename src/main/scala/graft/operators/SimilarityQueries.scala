@@ -46,6 +46,18 @@ object SimilarityQueries {
     ColumnBridge.column(graft.functions.CosineE4(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Kernel-validity predicate for an embedding column: non-null, 64
+    * lanes, no null element. This — NOT `cosE4(v, v).isNotNull` — is the
+    * correct guard: the cosine kernel only requires its two inputs to
+    * MATCH in length, so a ragged vector scored against itself returns a
+    * real value and would slip through a self-cosine check (it would
+    * then vote its few lanes into a codebook centroid or occupy a
+    * candidate slot while every against-the-corpus score it produces is
+    * null). Mirrors the DuckDB oracles' valid-vector CTE exactly.
+    */
+  def validVec(v: Column): Column =
+    v.isNotNull && size(v) === 64 && !exists(v, x => x.isNull)
+
   /** Brute-force cosine top-k against the deterministic query vector
     * (vec_id = 0). TakeOrdered physical op: per-partition top-k then a
     * k-row merge on the driver — no global sort shuffle.
@@ -58,6 +70,8 @@ object SimilarityQueries {
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
         cosE4(col("embedding"), col("q")).as("cos_e4"))
+      .filter(col("cos_e4").isNotNull) // ragged/null-lane vectors are
+      // not candidates (mirrors the oracle's valid-vector scan)
       .orderBy(col("cos_e4").desc, col("vec_id"))
       .limit(10)
   }
@@ -106,6 +120,7 @@ object SimilarityQueries {
       .join(broadcast(probes), "bucket")
       .select(col("vec_id"),
         cosE4(col("embedding"), col("q")).as("cos_e4"))
+      .filter(col("cos_e4").isNotNull)
       .orderBy(col("cos_e4").desc, col("vec_id"))
       .limit(10)
   }
@@ -163,6 +178,7 @@ object SimilarityQueries {
     val probes = query.select(col("q"), explode(col("cells")).as("cell"))
     corpus.join(broadcast(probes), "cell")
       .select(col("vec_id"), cosE4(col("embedding"), col("q")).as("cos_e4"))
+      .filter(col("cos_e4").isNotNull)
       .orderBy(col("cos_e4").desc, col("vec_id"))
       .limit(10)
   }
@@ -192,7 +208,13 @@ object SimilarityQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_e4").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored
+      // ragged/null-lane corpus vectors score NULL — drop them BEFORE
+      // ranking so they can't occupy rank slots when a query's probe
+      // set has fewer than k valid candidates (the oracle's
+      // valid-vector scan never sees them at all)
+      .filter(col("cos_e4").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -216,7 +238,12 @@ object SimilarityQueries {
     val isQuery = col("vec_id") % KnnQueryMod === 0
     val corpus = emb.filter(!isQuery)
       .withColumn("cell", ivfCell(col("embedding"), cents))
+    // an invalid QUERY vector still gets real probe-cell indices from
+    // the struct sort (only the scores are null), so it must be
+    // excluded explicitly — the same [[validVec]] predicate the
+    // codebook trainer and the oracle CTEs use
     val probes = emb.filter(isQuery)
+      .filter(validVec(col("embedding")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         explode(slice(ivfSorted(col("embedding"), cents), 1, IvfProbes)
           .getField("j")).as("cell"))
@@ -302,6 +329,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(query))
       .select(col("vec_id"), col("embedding"), col("q"),
         pqCosCol(col("codes"), col("q"), cb).as("adc_e4"))
+      .filter(col("adc_e4").isNotNull) // invalid vectors have no codes
       .orderBy(col("adc_e4").desc, col("vec_id"))
       .limit(PqRerank)
       .select(col("vec_id"), col("adc_e4"),

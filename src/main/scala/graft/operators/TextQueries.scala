@@ -160,25 +160,42 @@ object TextQueries {
     * q20 keep-first rule as a partial (map-side-combining) aggregate.
     * ONE definition shared by the q53/q63 `dedup_keep` stage and the
     * q62 leakage-safe split key, so the dedup rule cannot drift between
-    * the funnel and the split.
+    * the funnel and the split. The rep column rides as `rep_text` so
+    * join-backs can use NULL-SAFE equality: groupBy keeps a NULL-text
+    * group (failed extractions are one dedup class, exactly as the
+    * window formulation and the DuckDB `PARTITION BY text` treat them),
+    * and a plain equi-join would silently drop those docs from the
+    * funnel/split.
     */
   private[graft] def dedupReps(docs: DataFrame): DataFrame =
     docs.groupBy("text").agg(min("doc_id").as("rep"))
+      .withColumnRenamed("text", "rep_text")
+
+  /** Null-safe join-back of [[dedupReps]] onto (doc_id, text) rows. */
+  private def joinReps(docs: DataFrame): DataFrame =
+    docs.join(dedupReps(docs), col("text") <=> col("rep_text"))
+      .drop("rep_text")
 
   /** The q53 per-stage flags without the verdict/sort — shared with the
     * q63 full curation pipeline.
     */
   private def funnelFlags(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // null-text docs (failed extractions) FAIL CLOSED: their quality and
+    // span verdicts are indeterminate (the kernels null-propagate), and
+    // a curation funnel must drop what it cannot assess — coalesce(_, 0)
+    // is both that rule and the DuckDB oracle's CASE ... ELSE 0 reading
+    // of a NULL condition
     val g = gopherFlags(docs)
-      .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val d = docs.select(col("doc_id"), col("text"))
-      .join(dedupReps(docs), "text")
+      .select(col("doc_id"),
+        coalesce(col("keep"), lit(0L)).as("gopher_keep"))
+    val d = joinReps(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         (col("doc_id") === col("rep")).cast("long").as("dedup_keep"))
     val sp = DedupQueries.spanCoverage(docs)
       .select(col("doc_id"),
-        (col("coverage_pct") < 50).cast("long").as("span_keep"))
+        coalesce((col("coverage_pct") < 50).cast("long"), lit(0L))
+          .as("span_keep"))
     g.join(d, "doc_id").join(sp, "doc_id")
   }
 
@@ -611,7 +628,7 @@ object TextQueries {
     */
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    docs.join(dedupReps(docs), "text")
+    joinReps(docs)
       .withColumn("permille",
         pmod(pmod(col("rep"), lit(ResidueReduceMod)) * 2654435761L,
           lit(1000L)))

@@ -117,9 +117,30 @@ object StreamOps {
     */
   def snapshotSink(store: graft.store.SnapshotStore, table: String)
       : (DataFrame, Long) => Unit = { (batch, epochId) =>
-    val committed = store.head.flatMap(_.metrics.get("epoch")).getOrElse(-1L)
-    if (epochId > committed) {
-      store.commitWith(epochId.toInt, Seq(table -> batch),
+    // the committed epoch is read from the most recent snapshot IN THE
+    // CHAIN that carries this sink's table — not just HEAD, which an
+    // interleaved writer (the batch crawl loop, a second sink on another
+    // table) may own with no epoch metric at all; trusting only HEAD
+    // would reset the check to -1 and double-write a replay. Epochs are
+    // monotonic per sink, so the first chain hit is the latest. The
+    // chain walk is O(snapshots since the sink's last commit) driver-side
+    // manifest reads — at scale the head manifest embeds a per-table
+    // epoch map instead, same contract.
+    def committedEpoch: Long = {
+      var cur = store.head
+      while (cur.isDefined) {
+        val s = cur.get
+        if (s.tables.contains(table) && s.metrics.contains("epoch"))
+          return s.metrics("epoch")
+        cur = if (s.parent < 0) None else Some(store.readManifest(s.parent))
+      }
+      -1L
+    }
+    if (epochId > committedEpoch) {
+      // `wave` is the store's Int lineage slot; the authoritative epoch
+      // rides the metrics in full Long width (no silent truncation)
+      store.commitWith(math.min(epochId, Int.MaxValue.toLong).toInt,
+        Seq(table -> batch),
         written => Map("epoch" -> epochId,
           "rows" -> written.values.map(store.rowCount).sum))
     }

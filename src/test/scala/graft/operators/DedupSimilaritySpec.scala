@@ -744,6 +744,60 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(21L) == ((0L, 0L)))
   }
 
+  test("degenerate rows fail safe: null-text docs flow through the " +
+    "funnel and split (fail-closed flags, one dedup class); ragged/" +
+    "null-lane/null vectors never enter a top-k or vote a codebook, and " +
+    "semDedup still emits them (cell 0, never dropped as dups)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dirty-fix").toString
+    val base = (1 to 40).map(i => s"tok$i word$i item$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "src1", base.length.toLong),
+      (1L, base + " tail", "en", "src1", base.length + 5L),
+      (2L, null.asInstanceOf[String], "en", "src1", 0L), // failed fetch
+      (3L, null.asInstanceOf[String], "en", "src1", 0L)) // same class
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    def vec(f: Int => Float): Option[Seq[Option[Float]]] =
+      Some((0 until 64).map(i => Some(f(i))))
+    val vecs: Seq[(Long, Option[Seq[Option[Float]]], Int)] =
+      (0L to 5L).map(id =>
+        (id, vec(i => (i + id + 1).toFloat), (id % 2).toInt)) ++ Seq(
+        (6L, Some(Seq(Some(1f), Some(2f))), 0), // ragged
+        (7L, vec(i => i.toFloat).map(s => s.updated(7, None)), 0), // null lane
+        (8L, None, 0)) // null vector
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+
+    // funnel: null-text docs present, fail-closed quality/span flags,
+    // keep-first dedup within the null-text class
+    val funnel = TextQueries.corpusFunnel(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(funnel.keySet == Set(0L, 1L, 2L, 3L))
+    assert(funnel(2L).getLong(2) == 1L && funnel(3L).getLong(2) == 0L,
+      "first null-text doc is its class representative")
+    assert(funnel(2L).getLong(1) == 0L, "null text fails quality closed")
+    // split: both null-text docs ride the same representative
+    val split = TextQueries.leakageSafeSplit(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.keySet == Set(0L, 1L, 2L, 3L))
+    assert(split(2L) == split(3L))
+
+    // ANN: invalid vectors are not candidates anywhere
+    val brute = SimilarityQueries.annBruteForce(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(brute.intersect(Set(6L, 7L, 8L)).isEmpty)
+    val ivf = SimilarityQueries.annIvf(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(ivf.intersect(Set(6L, 7L, 8L)).isEmpty)
+    // semDedup: invalid vectors are never dropped (they can't pair) and
+    // carry the deterministic all-null-sort cell 0
+    val sd = SimilarityQueries.semDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Set(6L, 7L, 8L).subsetOf(sd.keySet))
+    assert(sd(6L) == 0L && sd(7L) == 0L && sd(8L) == 0L)
+  }
+
   test("dup clusters: transitive chain merges into ONE component labeled " +
     "by its min doc_id even though the endpoints share no pair edge; " +
     "disconnected docs stay singletons") {

@@ -259,7 +259,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("CartesianProduct"))
       assert(!p.contains("ScalaUDF"), s"UDF in the ref-model path:\n$p")
       val finalPlan = p.split("== Initial Plan ==").head
-      assert(!finalPlan.contains("Window \\["),
+      assert(!finalPlan.contains("Window"),
         s"window in the ref-model path:\n$p")
     }
   }

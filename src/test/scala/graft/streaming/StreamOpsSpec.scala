@@ -330,6 +330,20 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     sink(Seq(9L).toDF("url_hash"), epochs.last + 1)
     assert(store.snapshots.size == before + 1, "a NEW epoch must commit")
     assert(store.head.get.metrics("epoch") == epochs.last + 1)
+
+    // interleaved-writer armor: another producer (the batch crawl loop,
+    // a sink on a different table) commits a snapshot with NO epoch
+    // metric — a replay of the last stream epoch must STILL be skipped
+    // (the sink walks the chain for its own table's epoch, it does not
+    // trust HEAD alone)
+    store.commit(0, Map("crawl_records" -> Seq(1L).toDF("x")),
+      Map("fetched" -> 1L))
+    val afterForeign = store.snapshots.size
+    sink(Seq(10L).toDF("url_hash"), epochs.last + 1) // replay
+    assert(store.snapshots.size == afterForeign,
+      "replay after a foreign commit double-wrote")
+    sink(Seq(10L).toDF("url_hash"), epochs.last + 2) // genuinely new
+    assert(store.snapshots.size == afterForeign + 1)
   }
 
   test("host budget accounting tracks per-host per-window fetch counts") {

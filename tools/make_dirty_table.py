@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Build an adversarial copy of a testdata sfDir: same tables plus the
+degenerate rows a real web corpus contains and the synthetic generator
+never emits — null-text documents (failed extractions) and
+ragged/null-lane/NULL embedding vectors.
+
+Usage: python3 tools/make_dirty_table.py <clean_sfdir> <out_dir>
+
+Then the standard driver contract must STILL read all-green:
+    sbt -batch "runMain graft.Verify <out_dir> /tmp/verify_dirty"
+    python3 tools/check_oracle.py <out_dir> /tmp/verify_dirty
+This is the robustness leg behind the engine-vs-oracle null/validity
+mirrors (valid-vector CTEs, fail-closed funnel flags, null-propagating
+q30 diagnostics, zero-byte q27 blobs).
+"""
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main(src: str, dst: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+
+    t = pq.read_table(f"{src}/documents.parquet")
+    cols = {n: t.column(n).to_pylist() for n in t.schema.names}
+    maxid = max(cols["doc_id"])
+
+    def add_doc(doc_id, text):
+        for n in t.schema.names:
+            if n == "doc_id":
+                cols[n].append(doc_id)
+            elif n == "text":
+                cols[n].append(text)
+            elif n == "n_chars":
+                cols[n].append(0 if text is None else len(text))
+            elif n == "lang":
+                cols[n].append("en")
+            elif n == "source":
+                cols[n].append("src1")
+            else:
+                cols[n].append(None)
+
+    add_doc(maxid + 1, None)  # failed extraction
+    add_doc(maxid + 2, None)  # second null text: same dedup class
+    pq.write_table(
+        pa.table({n: pa.array(cols[n], type=t.schema.field(n).type)
+                  for n in t.schema.names}),
+        f"{dst}/documents.parquet")
+
+    e = pq.read_table(f"{src}/embeddings.parquet")
+    ec = {n: e.column(n).to_pylist() for n in e.schema.names}
+    maxv = max(ec["vec_id"])
+
+    def add_vec(vid, emb, label):
+        ec["vec_id"].append(vid)
+        ec["embedding"].append(emb)
+        ec["label"].append(label)
+
+    add_vec(maxv + 1, [1.0, 2.0], 3)  # ragged (also a k-NN query id
+    #                                   when (maxv+1) % 50 == 0)
+    bad = [float(i) for i in range(64)]
+    bad[7] = None
+    add_vec(maxv + 2, bad, 3)  # null lane
+    add_vec(maxv + 3, None, 3)  # NULL vector
+    pq.write_table(
+        pa.table({n: pa.array(ec[n], type=e.schema.field(n).type)
+                  for n in e.schema.names}),
+        f"{dst}/embeddings.parquet")
+    print(f"dirty table at {dst}: docs +2 null-text (ids {maxid + 1},"
+          f"{maxid + 2}), vectors +ragged/null-lane/null (ids {maxv + 1}"
+          f"..{maxv + 3})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
