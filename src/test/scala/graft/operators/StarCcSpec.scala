@@ -108,7 +108,9 @@ class StarCcSpec extends AnyFunSuite with BeforeAndAfterAll {
       "same table version must hit the cache")
     assert(first.count() == 1) // the (0,1) dup pair
 
-    Thread.sleep(1100) // ensure a distinct mtime fingerprint
+    // no sleep needed: the fingerprint hashes per-file (name, size,
+    // mtime) and Spark part-file names carry fresh task UUIDs, so a
+    // rewrite within the same mtime tick still changes the version
     write(Seq(base, base, base, "something else entirely here"))
     val second = DedupQueries.jaccardPairs(spark, d)
     assert(!(second eq first), "rewritten table must re-derive")
