@@ -75,6 +75,7 @@ object SparkEntry {
     "q64_knn_join_ivf" -> (SimilarityQueries.knnJoinIvf _),
     "q65_knn_join_lsh" -> (SimilarityQueries.knnJoinLsh _),
     "q55_ann_pq" -> (SimilarityQueries.annPq _),
+    "q69_knn_join_ivfpq" -> (SimilarityQueries.knnJoinIvfPq _),
     "q52_semdedup" -> (SimilarityQueries.semDedup _),
     // multimodal binary columns: q27 byte-level blob plumbing (frame
     // sampling over opaque payloads), q66 REAL PNG decode via JDK ImageIO
@@ -1038,6 +1039,53 @@ object SparkEntry {
         |SELECT c.vec_id, c.adc_e4, ${ce4Sql("c.embedding", "qe")} AS cos_e4
         |FROM cand c, q
         |ORDER BY cos_e4 DESC, c.vec_id LIMIT 10""".stripMargin,
+    // q69: the IVF-PQ composition oracle — DuckDB re-runs BOTH Lloyd
+    // trainings (the ivf and pq CTE chains compose; their CTE names are
+    // disjoint), the per-query probe-cell pick, the reconstruction-
+    // cosine ADC shortlist cut per query, and the exact rerank.
+    "q69_knn_join_ivfpq" ->
+      s"""WITH $ivfLloydCtes,
+        |$pqLloydCtes,
+        |qcells AS (
+        |  SELECT vec_id AS query_id, j AS cell FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ce4 DESC, j) rn
+        |    FROM cosF WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0)
+        |  WHERE rn <= ${SimilarityQueries.IvfProbes}),
+        |qv AS (
+        |  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+        |  WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0),
+        |recon AS (
+        |  SELECT a.vec_id, flatten(list(t.c ORDER BY a.s)) AS r
+        |  FROM pasnF a JOIN pcents${graft.operators.Codebooks.PqIters} t
+        |    ON t.s = a.s AND t.k = a.k
+        |  GROUP BY a.vec_id),
+        |adc AS (
+        |  SELECT qv.query_id, e.vec_id, e.embedding, qv.q,
+        |    ${ce4Sql("r.r", "qv.q")} AS adc_e4
+        |  FROM embeddings e
+        |  JOIN asnF a ON a.vec_id = e.vec_id
+        |  JOIN qcells p ON a.cell = p.cell
+        |  JOIN qv ON qv.query_id = p.query_id
+        |  JOIN recon r ON r.vec_id = e.vec_id
+        |  WHERE e.vec_id % ${SimilarityQueries.KnnQueryMod} <> 0),
+        |short AS (
+        |  SELECT query_id, vec_id, embedding, q FROM (
+        |    SELECT query_id, vec_id, embedding, q,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_e4 DESC, vec_id) AS ar
+        |    FROM adc)
+        |  WHERE ar <= ${SimilarityQueries.PqRerank}),
+        |scored AS (
+        |  SELECT query_id, vec_id, ${ce4Sql("embedding", "q")} AS cos_e4
+        |  FROM short)
+        |SELECT query_id, vec_id, cos_e4, rank FROM (
+        |  SELECT query_id, vec_id, cos_e4,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_e4 DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= ${SimilarityQueries.KnnK}
+        |ORDER BY query_id, rank""".stripMargin,
     // q56: the deterministic sampler re-derived end-to-end — suffix-based
     // target rates and the (overflow-hardened) coprime residue rule.
     "q56_domain_mix" ->

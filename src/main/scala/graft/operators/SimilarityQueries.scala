@@ -277,6 +277,50 @@ object SimilarityQueries {
     topKPerQuery(scored, KnnK)
   }
 
+  /** IVF-PQ k-NN JOIN (q69): the FAISS-standard index composition driven
+    * by a query TABLE — coarse cells bound WHICH candidates each query
+    * touches ([[IvfProbes]] trained cells, as q64), PQ codes bound what
+    * the shortlist scan READS (8-byte ADC, no float access — as q55),
+    * and only the per-query top-[[PqRerank]] shortlist touches raw
+    * embeddings for the exact rerank. Both per-query cuts are rank
+    * windows that plan as WindowGroupLimit (map-side bounded before
+    * each shuffle). At 10^10 vectors this is the plan you would
+    * actually run: the corpus is written partitioned by cell with its
+    * code column, a query reads ~nprobe/k of the cells, the ADC scan
+    * streams codes, and the rerank is a key-fetch of
+    * queries × [[PqRerank]] float rows (here the embedding rides the
+    * candidate row because the corpus is one table, q55's documented
+    * tradeoff).
+    */
+  def knnJoinIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cents = Codebooks.ivf(s, dir)
+    val cb = Codebooks.pq(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val isQuery = col("vec_id") % KnnQueryMod === 0
+    val corpus = emb.filter(!isQuery)
+      .withColumn("cell", ivfCell(col("embedding"), cents))
+      .withColumn("codes", pqCodesCol(col("embedding"), cb))
+    val probes = emb.filter(isQuery)
+      .filter(validVec(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(slice(ivfSorted(col("embedding"), cents), 1, IvfProbes)
+          .getField("j")).as("cell"))
+    val adc = corpus.join(probes, "cell")
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("q"),
+        pqCosCol(col("codes"), col("q"), cb).as("adc_e4"))
+      .filter(col("adc_e4").isNotNull) // invalid vectors have no codes
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_e4").desc, col("vec_id"))
+    val shortlist = adc
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PqRerank)
+    topKPerQuery(
+      shortlist.select(col("query_id"), col("vec_id"),
+        cosE4(col("embedding"), col("q")).as("cos_e4")),
+      KnnK)
+  }
+
   // ---- PQ ANN (q55) --------------------------------------------------------
 
   /** Packed PQ codes — 16 subvectors × 4 bits ([[graft.functions.PqCodes]]

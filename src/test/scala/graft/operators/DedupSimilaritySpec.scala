@@ -207,6 +207,32 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.5, s"mean recall dropped: $mean ($recalls)")
   }
 
+  test("k-NN JOIN (IVF-PQ) on the real table: the composed index — " +
+    "probe cells bound candidates, ADC codes bound the shortlist scan, " +
+    "exact rerank — returns exact scores with recall near the pure-IVF " +
+    "join (the ADC cut costs a little, bounded reads buy it)") {
+    val real = "/root/testdata/sf0.001"
+    val knn = SimilarityQueries.knnJoinIvfPq(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQuery = knn.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to 10L), s"ranks broken for $q")
+    }
+    val brute = knnBrute(real)
+    knn.foreach { case (q, v, cos, _) =>
+      assert(brute((q, v)) == cos, s"rerank score drift for ($q,$v)")
+    }
+    val bruteTop = topKOf(brute, 10)
+    val recalls = byQuery.map { case (q, rows) =>
+      (bruteTop(q) & rows.map(_._2).toSet).size
+    }.toSeq
+    val mean = recalls.sum.toDouble / recalls.size
+    // deterministic; pinned with headroom below the measured value —
+    // must stay within 2 of the pure-IVF join's bar (ADC cut cost)
+    assert(mean >= 5.0, s"mean recall dropped: $mean ($recalls)")
+  }
+
   test("ANN PQ on the real embeddings table: top-100 ADC candidates exact-" +
     "reranked recover most of the brute top-10; rerank scores are exact") {
     val real = "/root/testdata/sf0.001"

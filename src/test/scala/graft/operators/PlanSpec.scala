@@ -268,12 +268,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "per-query top-k plans as WindowGroupLimit (map-side k rows per query " +
     "BEFORE the shuffle), not a full window sort over all candidates") {
     for (df <- Seq(graft.operators.SimilarityQueries.knnJoinIvf(spark, dir),
-      graft.operators.SimilarityQueries.knnJoinLsh(spark, dir))) {
+      graft.operators.SimilarityQueries.knnJoinLsh(spark, dir),
+      graft.operators.SimilarityQueries.knnJoinIvfPq(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"))
       assert(p.contains("WindowGroupLimit"),
         s"rank-limit not pushed into WindowGroupLimit:\n$p")
     }
+    // the IVF-PQ composition has TWO per-query bounded cuts: the ADC
+    // shortlist and the final top-k — both must be WindowGroupLimit
+    val p2 = plan(graft.operators.SimilarityQueries.knnJoinIvfPq(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(p2).size >= 2,
+      s"expected both per-query cuts as WindowGroupLimit:\n$p2")
   }
 
   test("api lookup (q28): the variant/clean/atom-parse path is native " +
