@@ -289,17 +289,39 @@ object SparkEntry {
     (init +: steps :+ fin).mkString(",\n")
   }
 
+  /** DuckDB mirror of the kernel tokenizer's `Java split("\\s+")` over
+    * the space-trimmed lowered string (TextKernels.words). Java's split
+    * REMOVES all trailing empty tokens (so text ending in tab/newline
+    * whitespace yields none, and an all-whitespace string yields zero
+    * tokens) but KEEPS a leading empty when the string starts with
+    * non-space whitespace, and returns one empty token for the empty
+    * string — while DuckDB's regexp_split_to_array keeps every empty.
+    * The closed form: '' → ['']; no \\S content → []; leading-\\s →
+    * prepend '' to the \\S+ extraction; else the \\S+ extraction.
+    * Divergent only for texts with tab/newline at the edges after
+    * space-trim (the synthetic corpus has none; the dirty-table
+    * robustness leg plants them).
+    */
+  private def kernelWsSql(trimmed: String): String =
+    s"(CASE WHEN $trimmed = '' THEN ['']::VARCHAR[] " +
+      s"WHEN len(regexp_extract_all($trimmed, '\\S+')) = 0 " +
+      "THEN []::VARCHAR[] " +
+      s"WHEN regexp_matches($trimmed, '^\\s') " +
+      s"THEN list_prepend('', regexp_extract_all($trimmed, '\\S+')) " +
+      s"ELSE regexp_extract_all($trimmed, '\\S+') END)"
+
   /** Shared DuckDB CTE blocks: the Gopher-stat recompute (q30 + q53) and
     * the 8-token span-coverage recompute (q31 + q53) — ONE definition
     * each, so the funnel oracle can never drift from the per-stage
     * oracles it composes.
     */
-  private val gopherCtes: String =
-    """w AS (
+  private lazy val gopherCtes: String =
+    ("""w AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-      |  FROM documents),
-      |tc AS (
+      |    """.stripMargin +
+      kernelWsSql("trim(lower(text))") + """ AS ws
+      |  FROM documents),""".stripMargin) + "\n" +
+    """tc AS (
       |  SELECT doc_id, tk, count(*) AS c
       |  FROM (SELECT doc_id, unnest(ws) AS tk FROM w) GROUP BY 1, 2),
       |dup AS (
@@ -339,14 +361,15 @@ object SparkEntry {
       |    AND coalesce(topbi.tb, 0) * 10 < w.len
       |    THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
 
-  private val spanCtes: String =
-    """w8 AS (
+  private lazy val spanCtes: String =
+    ("""w8 AS (
       |  SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+      |    """.stripMargin +
+      kernelWsSql("trim(lower(text))") + """ AS ws,
       |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
       |      AS n_tokens
-      |  FROM documents),
-      |gr8 AS (
+      |  FROM documents),""".stripMargin) + "\n" +
+    """gr8 AS (
       |  SELECT doc_id, CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS p,
       |    unnest(gs) AS g
       |  FROM (SELECT doc_id, CASE WHEN len(ws) >= 8 THEN
@@ -376,11 +399,12 @@ object SparkEntry {
     * sizes) — ONE definition, reused by the q21 oracle and the q60
     * dup-cluster oracle so the edge set can never drift between them.
     */
-  private val jaccardCtes: String =
-    """w AS (SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-      |  FROM documents),
-      |docs AS (SELECT doc_id,
+  private lazy val jaccardCtes: String =
+    ("""w AS (SELECT doc_id,
+      |    """.stripMargin +
+      kernelWsSql("trim(lower(text))") + """ AS ws
+      |  FROM documents),""".stripMargin) + "\n" +
+    """docs AS (SELECT doc_id,
       |  CASE WHEN len(ws) >= 3 THEN
       |    list_distinct(list_transform(range(1, len(ws)-1),
       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
@@ -403,7 +427,7 @@ object SparkEntry {
     */
   private val pplCtes: String =
     s"""wp AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+      |  SELECT doc_id, ${kernelWsSql("trim(lower(text))")}
       |    AS ws
       |  FROM documents),
       |gp AS (
@@ -434,7 +458,7 @@ object SparkEntry {
   private val dsirCtes: String =
     s"""wd AS (
       |  SELECT doc_id, lang,
-      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      |    ${kernelWsSql("trim(lower(text))")} AS ws
       |  FROM documents),
       |gd AS (
       |  SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
@@ -464,7 +488,7 @@ object SparkEntry {
     */
   private val deconCtes: String =
     s"""wq AS (SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      |    ${kernelWsSql("trim(lower(text))")} AS ws
       |  FROM documents),
       |dq AS (SELECT doc_id,
       |  CASE WHEN len(ws) >= ${DedupQueries.DecontamN} THEN
@@ -689,7 +713,7 @@ object SparkEntry {
         |    ON a.band = b.band AND a.band_hash = b.band_hash
         |    AND a.doc_id < b.doc_id),
         |w AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        |    ${kernelWsSql("trim(lower(text))")} AS ws
         |  FROM documents),
         |sdocs AS (SELECT doc_id,
         |  CASE WHEN len(ws) >= 3 THEN
@@ -1126,7 +1150,7 @@ object SparkEntry {
     // → 1/V); V is the REFERENCE model's second-word vocabulary.
     "q67_perplexity_ref" ->
       s"""WITH wr AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+        |  SELECT doc_id, ${kernelWsSql("trim(lower(text))")}
         |    AS ws
         |  FROM documents),
         |gr AS (
@@ -1171,7 +1195,7 @@ object SparkEntry {
     // vocabulary (see importanceScoredWith scaladoc).
     "q68_dsir_ref" ->
       s"""WITH we AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+        |  SELECT doc_id, ${kernelWsSql("trim(lower(text))")}
         |    AS ws
         |  FROM documents),
         |ge AS (

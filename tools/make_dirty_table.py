@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Build an adversarial copy of a testdata sfDir: same tables plus the
 degenerate rows a real web corpus contains and the synthetic generator
-never emits — null-text documents (failed extractions) and
-ragged/null-lane/NULL embedding vectors.
+never emits — null-text documents (failed extractions), empty and
+whitespace-only documents (incl. tab/newline edges, where Java's
+split("\\s+") and DuckDB's regexp_split_to_array disagree about empty
+tokens), and ragged/null-lane/NULL embedding vectors.
 
 Usage: python3 tools/make_dirty_table.py <clean_sfdir> <out_dir>
 
@@ -45,6 +47,12 @@ def main(src: str, dst: str) -> None:
 
     add_doc(maxid + 1, None)  # failed extraction
     add_doc(maxid + 2, None)  # second null text: same dedup class
+    add_doc(maxid + 3, "")  # empty doc
+    add_doc(maxid + 4, "   ")  # all-space (trims to empty)
+    add_doc(maxid + 5, "\t\n ")  # tab/newline-only: the Java-vs-DuckDB
+    #                              split-artifact divergence class
+    add_doc(maxid + 6, "edge token body\t")  # trailing-tab text
+    add_doc(maxid + 7, "\tleading tab body")  # leading-tab text
     pq.write_table(
         pa.table({n: pa.array(cols[n], type=t.schema.field(n).type)
                   for n in t.schema.names}),
@@ -69,9 +77,10 @@ def main(src: str, dst: str) -> None:
         pa.table({n: pa.array(ec[n], type=e.schema.field(n).type)
                   for n in e.schema.names}),
         f"{dst}/embeddings.parquet")
-    print(f"dirty table at {dst}: docs +2 null-text (ids {maxid + 1},"
-          f"{maxid + 2}), vectors +ragged/null-lane/null (ids {maxv + 1}"
-          f"..{maxv + 3})")
+    print(f"dirty table at {dst}: docs +7 degenerate (ids {maxid + 1}.."
+          f"{maxid + 7}: 2 null, empty, all-space, tab/newline-only, "
+          f"trailing-tab, leading-tab), vectors +ragged/null-lane/null "
+          f"(ids {maxv + 1}..{maxv + 3})")
 
 
 if __name__ == "__main__":
