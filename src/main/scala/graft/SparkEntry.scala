@@ -302,13 +302,21 @@ object SparkEntry {
     * space-trim (the synthetic corpus has none; the dirty-table
     * robustness leg plants them).
     */
+  /** Java's `\s` spelled as an explicit RE2 class: RE2 (DuckDB) `\s` is
+    * `[\t\n\f\r ]` — it LACKS vertical tab \x0B, which Java's `\s`
+    * includes, so `'a\x0Bb'` is two tokens to every Spark tokenizer
+    * (kernels and the split() builtin alike) but ONE to a DuckDB `\s+`
+    * split. Every tokenizing oracle regex uses this class.
+    */
+  private val JavaWs = "[ \\t\\n\\x0B\\f\\r]"
+
   private def kernelWsSql(trimmed: String): String =
     s"(CASE WHEN $trimmed = '' THEN ['']::VARCHAR[] " +
-      s"WHEN len(regexp_extract_all($trimmed, '\\S+')) = 0 " +
+      s"WHEN len(regexp_extract_all($trimmed, '[^ \\t\\n\\x0B\\f\\r]+')) = 0 " +
       "THEN []::VARCHAR[] " +
-      s"WHEN regexp_matches($trimmed, '^\\s') " +
-      s"THEN list_prepend('', regexp_extract_all($trimmed, '\\S+')) " +
-      s"ELSE regexp_extract_all($trimmed, '\\S+') END)"
+      s"WHEN regexp_matches($trimmed, '^$JavaWs') " +
+      s"THEN list_prepend('', regexp_extract_all($trimmed, '[^ \\t\\n\\x0B\\f\\r]+')) " +
+      s"ELSE regexp_extract_all($trimmed, '[^ \\t\\n\\x0B\\f\\r]+') END)"
 
   /** Shared DuckDB CTE blocks: the Gopher-stat recompute (q30 + q53) and
     * the 8-token span-coverage recompute (q31 + q53) — ONE definition
@@ -366,7 +374,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |    """.stripMargin +
       kernelWsSql("trim(lower(text))") + """ AS ws,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT)
       |      AS n_tokens
       |  FROM documents),""".stripMargin) + "\n" +
     """gr8 AS (
@@ -649,18 +657,20 @@ object SparkEntry {
         |GROUP BY category ORDER BY category""".stripMargin,
     "q16_token_count" ->
       """SELECT doc_id,
-        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+        | CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
+        |   AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q17_quality_score" ->
       """SELECT doc_id, n_chars,
         | CAST(length(text) AS BIGINT) AS len,
-        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-        | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        | CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_words,
+        | CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
         |   w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
         | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
         | CAST(floor(length(text)*100.0 /
-        |   len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |   len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT)
         |   AS centichars_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q18_lang_id" ->
@@ -780,7 +790,7 @@ object SparkEntry {
     // q30: DuckDB recomputes every Gopher repetition stat from scratch via
     // explode + re-group (the formulation the Spark kernel deliberately
     // avoids — which makes it a fully independent twin); tokenization is
-    // the q21 house form regexp_split_to_array(trim(lower(text)), '\s+'),
+    // the q21 house form regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
     // and length() is codepoints on both engines. CTEs shared with q53.
     // null-text docs: the Spark kernel null-propagates (stats and keep
     // are NULL — the diagnostic view reports "unknown", while the q53
@@ -1245,7 +1255,7 @@ object SparkEntry {
         |tq AS (SELECT doc_id,
         |    CAST(generate_subscripts(tks, 1) - 1 AS BIGINT) AS p,
         |    unnest(tks) AS tok
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')
         |      AS tks
         |    FROM documents)),
         |cp AS (SELECT DISTINCT t.doc_id, t.p + u.o AS q
@@ -1399,7 +1409,7 @@ object SparkEntry {
     "q47_zotero_priority" ->
       """WITH items AS (
         |  SELECT doc_id, source, substring(text, 1, 40) AS title,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
         |      w -> w IN ('spark','stream','skew','shuffle','robust')) AS tags
         |  FROM documents),
         |flagged AS (

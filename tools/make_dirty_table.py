@@ -53,6 +53,8 @@ def main(src: str, dst: str) -> None:
     #                              split-artifact divergence class
     add_doc(maxid + 6, "edge token body\t")  # trailing-tab text
     add_doc(maxid + 7, "\tleading tab body")  # leading-tab text
+    add_doc(maxid + 8, "verti\x0bcal tab doc")  # \x0B: in Java's \s
+    #                     (both Spark tokenizers split) but NOT in RE2's
     pq.write_table(
         pa.table({n: pa.array(cols[n], type=t.schema.field(n).type)
                   for n in t.schema.names}),
