@@ -289,6 +289,19 @@ object SparkEntry {
     (init +: steps :+ fin).mkString(",\n")
   }
 
+  /** Java's `\s` spelled as an explicit RE2 class: RE2 (DuckDB) `\s` is
+    * `[\t\n\f\r ]` — it LACKS vertical tab \x0B, which Java's `\s`
+    * includes, so `'a\x0Bb'` is two tokens to every Spark tokenizer
+    * (kernels and the split() builtin alike) but ONE to a DuckDB `\s+`
+    * split. Every tokenizing oracle regex uses this class (Java's \s
+    * definition is frozen, so the literal copies in the plain-string
+    * oracle fragments cannot drift).
+    */
+  private val JavaWs = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** Java non-whitespace (`\S`) as the matching negated class. */
+  private val JavaNonWs = "[^ \\t\\n\\x0B\\f\\r]"
+
   /** DuckDB mirror of the kernel tokenizer's `Java split("\\s+")` over
     * the space-trimmed lowered string (TextKernels.words). Java's split
     * REMOVES all trailing empty tokens (so text ending in tab/newline
@@ -302,28 +315,20 @@ object SparkEntry {
     * space-trim (the synthetic corpus has none; the dirty-table
     * robustness leg plants them).
     */
-  /** Java's `\s` spelled as an explicit RE2 class: RE2 (DuckDB) `\s` is
-    * `[\t\n\f\r ]` — it LACKS vertical tab \x0B, which Java's `\s`
-    * includes, so `'a\x0Bb'` is two tokens to every Spark tokenizer
-    * (kernels and the split() builtin alike) but ONE to a DuckDB `\s+`
-    * split. Every tokenizing oracle regex uses this class.
-    */
-  private val JavaWs = "[ \\t\\n\\x0B\\f\\r]"
-
   private def kernelWsSql(trimmed: String): String =
     s"(CASE WHEN $trimmed = '' THEN ['']::VARCHAR[] " +
-      s"WHEN len(regexp_extract_all($trimmed, '[^ \\t\\n\\x0B\\f\\r]+')) = 0 " +
+      s"WHEN len(regexp_extract_all($trimmed, '$JavaNonWs+')) = 0 " +
       "THEN []::VARCHAR[] " +
       s"WHEN regexp_matches($trimmed, '^$JavaWs') " +
-      s"THEN list_prepend('', regexp_extract_all($trimmed, '[^ \\t\\n\\x0B\\f\\r]+')) " +
-      s"ELSE regexp_extract_all($trimmed, '[^ \\t\\n\\x0B\\f\\r]+') END)"
+      s"THEN list_prepend('', regexp_extract_all($trimmed, '$JavaNonWs+')) " +
+      s"ELSE regexp_extract_all($trimmed, '$JavaNonWs+') END)"
 
   /** Shared DuckDB CTE blocks: the Gopher-stat recompute (q30 + q53) and
     * the 8-token span-coverage recompute (q31 + q53) — ONE definition
     * each, so the funnel oracle can never drift from the per-stage
     * oracles it composes.
     */
-  private lazy val gopherCtes: String =
+  private val gopherCtes: String =
     ("""w AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
       |    """.stripMargin +
@@ -369,7 +374,7 @@ object SparkEntry {
       |    AND coalesce(topbi.tb, 0) * 10 < w.len
       |    THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
 
-  private lazy val spanCtes: String =
+  private val spanCtes: String =
     ("""w8 AS (
       |  SELECT doc_id,
       |    """.stripMargin +
@@ -407,7 +412,7 @@ object SparkEntry {
     * sizes) — ONE definition, reused by the q21 oracle and the q60
     * dup-cluster oracle so the edge set can never drift between them.
     */
-  private lazy val jaccardCtes: String =
+  private val jaccardCtes: String =
     ("""w AS (SELECT doc_id,
       |    """.stripMargin +
       kernelWsSql("trim(lower(text))") + """ AS ws

@@ -157,26 +157,38 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_._1._2).toSet
     }
 
-  test("k-NN JOIN (IVF) on the real table: 10 queries, each with exactly " +
-    "k exact-scored neighbors; mean recall@10 vs per-query brute force " +
-    "matches the single-query IVF path's bar") {
-    val real = "/root/testdata/sf0.001"
-    val knn = SimilarityQueries.knnJoinIvf(spark, real).collect()
+  /** Shared k-NN-join scaffold (q64/q65/q69 return the same shape):
+    * asserts 10 queries, contiguous per-query ranks, and every returned
+    * score exact vs per-query brute force; returns (mean recall@10,
+    * per-query recalls) for the variant-specific recall bar.
+    */
+  private def knnJoinChecked(df: org.apache.spark.sql.DataFrame,
+      real: String): (Double, Seq[Int]) = {
+    val knn = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val byQuery = knn.groupBy(_._1)
     assert(byQuery.size == 10, s"expected 500/50 queries, got ${byQuery.size}")
     byQuery.foreach { case (q, rows) =>
-      assert(rows.map(_._4).sorted.toSeq == (1L to 10L), s"ranks broken for $q")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length),
+        s"ranks broken for $q")
     }
     val brute = knnBrute(real)
     knn.foreach { case (q, v, cos, _) =>
       assert(brute((q, v)) == cos, s"score drift for ($q,$v)")
     }
     val bruteTop = topKOf(brute, 10)
-    val recalls = byQuery.map { case (q, rows) =>
+    val recalls = byQuery.toSeq.sortBy(_._1).map { case (q, rows) =>
       (bruteTop(q) & rows.map(_._2).toSet).size
-    }.toSeq
-    val mean = recalls.sum.toDouble / recalls.size
+    }
+    (recalls.sum.toDouble / recalls.size, recalls)
+  }
+
+  test("k-NN JOIN (IVF) on the real table: 10 queries, each with exactly " +
+    "k exact-scored neighbors; mean recall@10 vs per-query brute force " +
+    "matches the single-query IVF path's bar") {
+    val (mean, recalls) = knnJoinChecked(
+      SimilarityQueries.knnJoinIvf(spark, "/root/testdata/sf0.001"),
+      "/root/testdata/sf0.001")
     // deterministic table + deterministic Lloyd → deterministic recall;
     // single-query annIvf measures 10/10 on this table, the 10-query mean
     // is pinned with the same headroom as that test (≥ 7/10)
@@ -186,20 +198,9 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("k-NN JOIN (LSH) on the real table: exact scores, bounded probes — " +
     "lower recall than IVF on isotropic data is the expected tradeoff, " +
     "but the planted-structure guarantee (hamming-1 probe set) holds") {
-    val real = "/root/testdata/sf0.001"
-    val knn = SimilarityQueries.knnJoinLsh(spark, real).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val byQuery = knn.groupBy(_._1)
-    assert(byQuery.size == 10)
-    val brute = knnBrute(real)
-    knn.foreach { case (q, v, cos, _) =>
-      assert(brute((q, v)) == cos, s"score drift for ($q,$v)")
-    }
-    val bruteTop = topKOf(brute, 10)
-    val recalls = byQuery.map { case (q, rows) =>
-      (bruteTop(q) & rows.map(_._2).toSet).size
-    }.toSeq
-    val mean = recalls.sum.toDouble / recalls.size
+    val (mean, recalls) = knnJoinChecked(
+      SimilarityQueries.knnJoinLsh(spark, "/root/testdata/sf0.001"),
+      "/root/testdata/sf0.001")
     // measured 0.8 on the deterministic table (random hyperplanes over
     // ISOTROPIC vectors probe 9/256 buckets ≈ 3.5% of the corpus — recall
     // ∝ probe fraction when there is no cluster structure, which is why
@@ -211,23 +212,9 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     "probe cells bound candidates, ADC codes bound the shortlist scan, " +
     "exact rerank — returns exact scores with recall near the pure-IVF " +
     "join (the ADC cut costs a little, bounded reads buy it)") {
-    val real = "/root/testdata/sf0.001"
-    val knn = SimilarityQueries.knnJoinIvfPq(spark, real).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val byQuery = knn.groupBy(_._1)
-    assert(byQuery.size == 10)
-    byQuery.foreach { case (q, rows) =>
-      assert(rows.map(_._4).sorted.toSeq == (1L to 10L), s"ranks broken for $q")
-    }
-    val brute = knnBrute(real)
-    knn.foreach { case (q, v, cos, _) =>
-      assert(brute((q, v)) == cos, s"rerank score drift for ($q,$v)")
-    }
-    val bruteTop = topKOf(brute, 10)
-    val recalls = byQuery.map { case (q, rows) =>
-      (bruteTop(q) & rows.map(_._2).toSet).size
-    }.toSeq
-    val mean = recalls.sum.toDouble / recalls.size
+    val (mean, recalls) = knnJoinChecked(
+      SimilarityQueries.knnJoinIvfPq(spark, "/root/testdata/sf0.001"),
+      "/root/testdata/sf0.001")
     // deterministic; pinned with headroom below the measured value —
     // must stay within 2 of the pure-IVF join's bar (ADC cut cost)
     assert(mean >= 5.0, s"mean recall dropped: $mean ($recalls)")

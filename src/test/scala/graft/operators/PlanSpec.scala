@@ -267,19 +267,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("k-NN join (q64/q65): probe equi-join — never cartesian — and the " +
     "per-query top-k plans as WindowGroupLimit (map-side k rows per query " +
     "BEFORE the shuffle), not a full window sort over all candidates") {
-    for (df <- Seq(graft.operators.SimilarityQueries.knnJoinIvf(spark, dir),
-      graft.operators.SimilarityQueries.knnJoinLsh(spark, dir),
-      graft.operators.SimilarityQueries.knnJoinIvfPq(spark, dir))) {
+    // thresholds measured on this Spark: ONE rank cut prints
+    // WindowGroupLimit twice in the FINAL plan section (Partial + Final
+    // modes — counting the whole string would also include AQE's
+    // "Initial Plan" copy and make any bound vacuous); q69's second cut
+    // (the ADC shortlist) adds a third — so 3-vs-2 is what detects the
+    // shortlist regressing to a full Window sort
+    for ((df, cuts) <- Seq(
+      graft.operators.SimilarityQueries.knnJoinIvf(spark, dir) -> 2,
+      graft.operators.SimilarityQueries.knnJoinLsh(spark, dir) -> 2,
+      graft.operators.SimilarityQueries.knnJoinIvfPq(spark, dir) -> 3)) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"))
-      assert(p.contains("WindowGroupLimit"),
-        s"rank-limit not pushed into WindowGroupLimit:\n$p")
+      val finalPlan = p.split("== Initial Plan ==").head
+      val n = "WindowGroupLimit".r.findAllIn(finalPlan).size
+      assert(n >= cuts,
+        s"expected >= $cuts WindowGroupLimit nodes, got $n in:\n$p")
     }
-    // the IVF-PQ composition has TWO per-query bounded cuts: the ADC
-    // shortlist and the final top-k — both must be WindowGroupLimit
-    val p2 = plan(graft.operators.SimilarityQueries.knnJoinIvfPq(spark, dir))
-    assert("WindowGroupLimit".r.findAllIn(p2).size >= 2,
-      s"expected both per-query cuts as WindowGroupLimit:\n$p2")
   }
 
   test("api lookup (q28): the variant/clean/atom-parse path is native " +
