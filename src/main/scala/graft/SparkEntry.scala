@@ -130,7 +130,8 @@ object SparkEntry {
     """vemb AS (
       |  SELECT * FROM embeddings
       |  WHERE embedding IS NOT NULL AND len(embedding) = 64
-      |    AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64)"""
+      |    AND len(list_filter(embedding, x -> isfinite(x))) = 64
+        |    AND list_sum(list_transform(embedding, x -> x*x)) > 0)"""
       .stripMargin
 
   /** floor(10⁴·cosine) of 64-lane list exprs `e`, `c` — the index-order
@@ -170,7 +171,8 @@ object SparkEntry {
       s"""embv AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL AND len(embedding) = 64
-         |    AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64),
+         |    AND len(list_filter(embedding, x -> isfinite(x))) = 64
+        |    AND list_sum(list_transform(embedding, x -> x*x)) > 0),
          |cents0 AS (
          |  SELECT j, list_transform(range(0, 64),
          |    i -> (((j*64+i)*2654435761) % 2003 - 1001) / 1024.0) AS c
@@ -235,7 +237,8 @@ object SparkEntry {
       """embvp AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
-        |    AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64),
+        |    AND len(list_filter(embedding, x -> isfinite(x))) = 64
+        |    AND list_sum(list_transform(embedding, x -> x*x)) > 0),
         |pcents0 AS (
         |  SELECT s, k, list_transform(range(0, 4),
         |    i -> (((s*128 + k*8 + i)*2654435761) % 2003 - 1001) / 1024.0)

@@ -36,9 +36,14 @@ object VecKernels extends Serializable {
     * and both squared norms, `sqrt` per norm, then
     * `(long) Math.floor((dot / (na * nb)) * 10000)` — the same grouping
     * Spark's `Floor(Multiply(Divide(...)))` evaluates. Returns NULL
-    * (boxed) exactly when the twin does: a ragged pair (`zip_with`
-    * null-pads the shorter side → null lane → null fold) or any null
-    * element nulls the whole fold.
+    * (boxed) when the twin does — a ragged pair (`zip_with` null-pads
+    * the shorter side → null lane → null fold) or any null element —
+    * AND when the cosine is UNDEFINED: a NaN/±Inf lane or a zero-norm
+    * side makes the ratio non-finite, and `Math.floor(NaN).toLong`
+    * would otherwise smuggle it out as score 0, a real-looking value
+    * the DuckDB oracle cannot even cast (NaN::BIGINT errors). No
+    * direction → no cosine → null, uniformly filtered by every
+    * candidate path's isNotNull guard.
     */
   def cosineE4(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
@@ -56,8 +61,9 @@ object VecKernels extends Serializable {
       nb += y * y
       i += 1
     }
-    java.lang.Long.valueOf(
-      Math.floor(dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0).toLong)
+    val c = dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0
+    if (java.lang.Double.isNaN(c) || java.lang.Double.isInfinite(c)) null
+    else java.lang.Long.valueOf(Math.floor(c).toLong)
   }
 
   /** Hyperplane lane signs, precomputed once per JVM: lane(j)(i) is the
@@ -170,10 +176,22 @@ object VecKernels extends Serializable {
   def pqCodes(v: ArrayData, cb: Array[Double]): java.lang.Long = {
     if (v.numElements() != 64) return null
     var i = 0
+    var allZero = true
     while (i < 64) {
+      // non-finite lanes make every subvector distance NaN — the argmin
+      // would be comparison-order noise; and the zero vector, while
+      // L2-encodable, has no direction: every cosine it participates in
+      // is null, so admitting it to the code table (or its votes to the
+      // codebook) would give the index a citizen no query can ever
+      // retrieve — the validity rule is cosineE4's, uniformly
       if (v.isNullAt(i)) return null
+      val f = v.getFloat(i)
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+        return null
+      if (f != 0.0f) allZero = false
       i += 1
     }
+    if (allZero) return null
     var packed = 0L
     var s = 0
     while (s < PqSubs) {
@@ -223,8 +241,11 @@ object VecKernels extends Serializable {
       nb += y * y
       i += 1
     }
-    java.lang.Long.valueOf(
-      Math.floor(dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0).toLong)
+    // undefined reconstruction cosine (NaN/Inf query lane, zero-norm
+    // side) → null, as in [[cosineE4]]
+    val r = dot / (Math.sqrt(na) * Math.sqrt(nb)) * 10000.0
+    if (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r)) null
+    else java.lang.Long.valueOf(Math.floor(r).toLong)
   }
 }
 

@@ -47,16 +47,24 @@ object SimilarityQueries {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Kernel-validity predicate for an embedding column: non-null, 64
-    * lanes, no null element. This — NOT `cosE4(v, v).isNotNull` — is the
-    * correct guard: the cosine kernel only requires its two inputs to
-    * MATCH in length, so a ragged vector scored against itself returns a
-    * real value and would slip through a self-cosine check (it would
-    * then vote its few lanes into a codebook centroid or occupy a
-    * candidate slot while every against-the-corpus score it produces is
-    * null). Mirrors the DuckDB oracles' valid-vector CTE exactly.
+    * lanes, every lane finite, non-zero norm. This — NOT
+    * `cosE4(v, v).isNotNull` — is the correct guard: the cosine kernel
+    * only requires its two inputs to MATCH in length, so a ragged
+    * vector scored against itself returns a real value and would slip
+    * through a self-cosine check (it would then vote its few lanes into
+    * a codebook centroid or occupy a candidate slot while every
+    * against-the-corpus score it produces is null). NaN/±Inf lanes and
+    * the zero vector are excluded for the same reason: they have no
+    * direction — every kernel score they produce is null — and letting
+    * them vote would poison centroid means (a single NaN lane NaNs its
+    * whole cell's mean). Mirrors the DuckDB oracles' valid-vector CTEs
+    * exactly (isfinite + squared-norm > 0 there).
     */
   def validVec(v: Column): Column =
-    v.isNotNull && size(v) === 64 && !exists(v, x => x.isNull)
+    v.isNotNull && size(v) === 64 &&
+      !exists(v, x => x.isNull || isnan(x) ||
+        x === Float.PositiveInfinity || x === Float.NegativeInfinity) &&
+      exists(v, x => x =!= 0.0f)
 
   /** Brute-force cosine top-k against the deterministic query vector
     * (vec_id = 0). TakeOrdered physical op: per-partition top-k then a

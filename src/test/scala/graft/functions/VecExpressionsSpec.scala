@@ -172,6 +172,34 @@ class VecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).isNullAt(0) && r(1).isNullAt(1)) // null vector
   }
 
+  test("undefined cosine is NULL, never a fake score: a NaN/Inf lane or a " +
+    "zero-norm side nulls cosE4 / pqCodes / pqCosE4 (a naive " +
+    "floor(NaN).toLong would smuggle it out as a real-looking 0), and " +
+    "validVec mirrors the kernel validity rule exactly") {
+    import spark.implicits._
+    val nanv = Array.tabulate(64)(i => if (i == 3) Float.NaN else i.toFloat)
+    val infv = Array.tabulate(64)(i =>
+      if (i == 5) Float.PositiveInfinity else i.toFloat)
+    val zero = Array.fill(64)(0.0f)
+    val clean = Array.tabulate(64)(i => (i + 1).toFloat)
+    val df = Seq((1, nanv), (2, infv), (3, zero), (4, clean))
+      .toDF("id", "v").repartition(2)
+    val r = df.select(col("id"),
+        SimilarityQueries.cosE4(col("v"), typedlit(clean.toSeq)).as("cos"),
+        SimilarityQueries.pqCodesCol(col("v")).as("codes"),
+        SimilarityQueries.pqCosCol(lit(0L), col("v")).as("adc"))
+      .orderBy("id").collect()
+    (0 to 2).foreach { i =>
+      assert(r(i).isNullAt(1), s"cos should be null for id=${r(i).getInt(0)}")
+      assert(r(i).isNullAt(2), s"codes should be null for id=${r(i).getInt(0)}")
+      assert(r(i).isNullAt(3), s"adc should be null for id=${r(i).getInt(0)}")
+    }
+    assert(!r(3).isNullAt(1) && !r(3).isNullAt(2) && !r(3).isNullAt(3))
+    val vv = df.select(col("id"), SimilarityQueries.validVec(col("v")))
+      .orderBy("id").collect().map(_.getBoolean(1)).toSeq
+    assert(vv == Seq(false, false, false, true))
+  }
+
   test("SQL surface: pq_codes / pq_cos_e4 registered and callable") {
     emb.createOrReplaceTempView("epq")
     val r = spark.sql(

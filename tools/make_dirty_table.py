@@ -89,6 +89,16 @@ def main(src: str, dst: str) -> None:
     bad[7] = None
     add_vec(maxv + 2, bad, 3)  # null lane
     add_vec(maxv + 3, None, 3)  # NULL vector
+    nanv = [float(i) for i in range(64)]
+    nanv[3] = float("nan")
+    add_vec(maxv + 4, nanv, 3)  # NaN lane (floor(NaN) would smuggle a
+    #                             fake score-0 out of a naive kernel;
+    #                             DuckDB can't even cast NaN to BIGINT)
+    infv = [float(i) for i in range(64)]
+    infv[5] = float("inf")
+    add_vec(maxv + 5, infv, 3)  # Inf lane
+    add_vec(maxv + 6, [0.0] * 64, 3)  # zero vector: no direction, the
+    #                                   0/0 cosine is undefined
     pq.write_table(
         pa.table({n: pa.array(ec[n], type=e.schema.field(n).type)
                   for n in e.schema.names}),
@@ -96,7 +106,8 @@ def main(src: str, dst: str) -> None:
     print(f"dirty table at {dst}: docs +10 degenerate (ids {maxid + 1}.."
           f"{maxid + 10}: 2 null, empty, all-space, tab/newline-only, "
           f"trailing-tab, leading-tab, vertical-tab, astral, accented), "
-          f"vectors +ragged/null-lane/null (ids {maxv + 1}..{maxv + 3})")
+          f"vectors +ragged/null-lane/null/nan-lane/inf-lane/zero "
+          f"(ids {maxv + 1}..{maxv + 6})")
 
 
 if __name__ == "__main__":
