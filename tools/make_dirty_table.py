@@ -69,6 +69,20 @@ def main(src: str, dst: str) -> None:
             "\U0001D518nicode \U0001F600 astral \U0001D518nicode body")
     add_doc(maxid + 10, "ÆON æon naïve café "
             "naïve café end")
+    # non-\s unicode separators: NBSP and U+2028 are whitespace to a
+    # human but NOT in Java's \s (= [ \t\n\x0B\f\r]) nor the oracle's
+    # explicit class — both engines must keep them INSIDE one token
+    add_doc(maxid + 11, "nbsp\u00a0joined token body")
+    add_doc(maxid + 12, "para\u2028separator token body")
+    add_doc(maxid + 13, "line one\r\nline two\r\n")  # CRLF: \r and \n
+    #                     are both-engine whitespace; trailing CRLF hits
+    #                     the Java trailing-empty-token drop again
+    add_doc(maxid + 14, "nul\x00byte token body")  # U+0000 is a valid
+    #                     codepoint both engines must carry, not truncate
+    add_doc(maxid + 15, ("dup " * 500) + "dup")  # one token repeated
+    #                     501×: within-doc hot gram — dup-trigram
+    #                     coverage saturates, the LM sees one bigram 500
+    #                     times, dup-span shingles all collide
     pq.write_table(
         pa.table({n: pa.array(cols[n], type=t.schema.field(n).type)
                   for n in t.schema.names}),
@@ -103,9 +117,10 @@ def main(src: str, dst: str) -> None:
         pa.table({n: pa.array(ec[n], type=e.schema.field(n).type)
                   for n in e.schema.names}),
         f"{dst}/embeddings.parquet")
-    print(f"dirty table at {dst}: docs +10 degenerate (ids {maxid + 1}.."
-          f"{maxid + 10}: 2 null, empty, all-space, tab/newline-only, "
-          f"trailing-tab, leading-tab, vertical-tab, astral, accented), "
+    print(f"dirty table at {dst}: docs +15 degenerate (ids {maxid + 1}.."
+          f"{maxid + 15}: 2 null, empty, all-space, tab/newline-only, "
+          f"trailing-tab, leading-tab, vertical-tab, astral, accented, "
+          f"nbsp, U+2028, CRLF, NUL-byte, hot-repeated-token), "
           f"vectors +ragged/null-lane/null/nan-lane/inf-lane/zero "
           f"(ids {maxv + 1}..{maxv + 6})")
 
