@@ -99,6 +99,9 @@ object Bench {
     // left joins)
     "q64_knn_join_ivf" -> 3.0, "q65_knn_join_lsh" -> 2.0,
     "q69_knn_join_ivfpq" -> 3.0,
+    // q70 scores |Q|×N pairs by definition (the exact baseline) — at
+    // sf0.1 that is 40 queries × 20k corpus rows of codegen cosine
+    "q70_knn_join_brute" -> 3.0,
     "q66_image_decode" -> 3.0, "q67_perplexity_ref" -> 3.0,
     "q68_dsir_ref" -> 3.0,
     // r4: 12/32 trained probe cells rerank ~37% of the corpus (vs 4/16

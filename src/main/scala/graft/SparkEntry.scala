@@ -76,6 +76,7 @@ object SparkEntry {
     "q65_knn_join_lsh" -> (SimilarityQueries.knnJoinLsh _),
     "q55_ann_pq" -> (SimilarityQueries.annPq _),
     "q69_knn_join_ivfpq" -> (SimilarityQueries.knnJoinIvfPq _),
+    "q70_knn_join_brute" -> (SimilarityQueries.knnJoinBrute _),
     "q52_semdedup" -> (SimilarityQueries.semDedup _),
     // multimodal binary columns: q27 byte-level blob plumbing (frame
     // sampling over opaque payloads), q66 REAL PNG decode via JDK ImageIO
@@ -1047,6 +1048,27 @@ object SparkEntry {
         |  JOIN buckets bk ON bk.vec_id = e.vec_id
         |  JOIN qprobes p ON bk.bucket = p.b
         |  JOIN qv ON qv.query_id = p.query_id
+        |  WHERE e.vec_id % ${SimilarityQueries.KnnQueryMod} <> 0)
+        |SELECT query_id, vec_id, cos_e4, rank FROM (
+        |  SELECT query_id, vec_id, cos_e4,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_e4 DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= ${SimilarityQueries.KnnK}
+        |ORDER BY query_id, rank""".stripMargin,
+    // q70: the exact twin — no index to re-derive, so the oracle is just
+    // valid queries × valid corpus, the cosine fold, and the per-query
+    // rank cut (the ground truth the q64/q65/q69 recall bars measure
+    // against, recomputed wholly in DuckDB).
+    "q70_knn_join_brute" ->
+      s"""WITH $vembCte,
+        |qv AS (
+        |  SELECT vec_id AS query_id, embedding AS q FROM vemb
+        |  WHERE vec_id % ${SimilarityQueries.KnnQueryMod} = 0),
+        |cand AS (
+        |  SELECT qv.query_id, e.vec_id, ${ce4Sql("e.embedding", "qv.q")}
+        |    AS cos_e4
+        |  FROM vemb e, qv
         |  WHERE e.vec_id % ${SimilarityQueries.KnnQueryMod} <> 0)
         |SELECT query_id, vec_id, cos_e4, rank FROM (
         |  SELECT query_id, vec_id, cos_e4,

@@ -329,6 +329,35 @@ object SimilarityQueries {
       KnnK)
   }
 
+  /** Brute-force k-NN JOIN (q70): every query's EXACT top-[[KnnK]] — the
+    * ground-truth twin of [[knnJoinIvf]]/[[knnJoinLsh]]/[[knnJoinIvfPq]],
+    * and the operator a pipeline runs to MEASURE their recall (the
+    * recall yardstick the specs compute inline, promoted to a first-class
+    * query). Shape: the query table rides a broadcast nested-loop join
+    * against one full corpus scan — O(|Q|·N) scores by definition, so
+    * this is the right tool exactly when |Q| is small (retrieval-eval
+    * sets, 10²–10⁵ queries — broadcastable); at that size the corpus
+    * never shuffles and the per-query top-k cut is map-side
+    * (WindowGroupLimit, plan-pinned), so the one shuffle moves
+    * O(tasks × |Q| × k) rows. A LARGE query table has no brute-force
+    * plan worth running — the quadratic score count is the cost, not the
+    * join strategy — which is what the indexed variants are for.
+    */
+  def knnJoinBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isQuery = col("vec_id") % KnnQueryMod === 0
+    val corpus = emb.filter(!isQuery)
+    // invalid query vectors score NULL against everything and would
+    // return empty groups; exclude them like every other query path
+    val queries = emb.filter(isQuery)
+      .filter(validVec(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosE4(col("embedding"), col("q")).as("cos_e4"))
+    topKPerQuery(scored, KnnK)
+  }
+
   // ---- PQ ANN (q55) --------------------------------------------------------
 
   /** Packed PQ codes — 16 subvectors × 4 bits ([[graft.functions.PqCodes]]

@@ -220,6 +220,15 @@ class DedupSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 5.0, s"mean recall dropped: $mean ($recalls)")
   }
 
+  test("k-NN JOIN (brute) on the real table: the exact baseline — output " +
+    "IS the per-query ground truth (recall ≡ 10/10 by construction), " +
+    "which is what the indexed variants' recall bars measure against") {
+    val (mean, recalls) = knnJoinChecked(
+      SimilarityQueries.knnJoinBrute(spark, "/root/testdata/sf0.001"),
+      "/root/testdata/sf0.001")
+    assert(mean == 10.0, s"brute k-NN join is not exact: $mean ($recalls)")
+  }
+
   test("ANN PQ on the real embeddings table: top-100 ADC candidates exact-" +
     "reranked recover most of the brute top-10; rerank scores are exact") {
     val real = "/root/testdata/sf0.001"

@@ -286,6 +286,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("k-NN join (q70 brute): the query table is BROADCAST against one " +
+    "corpus scan (nested-loop by design — scoring all pairs IS the " +
+    "operator), the corpus itself never shuffles, and the per-query " +
+    "top-k still cuts map-side as WindowGroupLimit") {
+    val p = plan(
+      graft.operators.SimilarityQueries.knnJoinBrute(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query table not broadcast in:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val n = "WindowGroupLimit".r.findAllIn(finalPlan).size
+    assert(n >= 2, s"expected >= 2 WindowGroupLimit nodes, got $n in:\n$p")
+  }
+
   test("api lookup (q28): the variant/clean/atom-parse path is native " +
     "codegen expressions — no ScalaUDF anywhere; the index side is " +
     "broadcast") {
